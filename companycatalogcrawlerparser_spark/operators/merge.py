@@ -1,0 +1,106 @@
+"""Upsert/MERGE operators (K1-K8 in SURVEY.md §2.1).
+
+On Iceberg these are single ``MERGE INTO`` statements (documented per
+function); on plain parquet snapshots we express the same semantics as
+anti-join + union, committed atomically through the snapshot store. All
+joins here are key-equi joins that Catalyst broadcasts when the new-rows
+side is small (the usual case for per-batch merges).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def insert_if_absent(
+    existing: DataFrame, new: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """K1/K2/K4 — ``MERGE INTO t USING s ON <keys> WHEN NOT MATCHED THEN
+    INSERT`` (``DbAccess.fs:20-41,43-66,69-95``). The source is deduped on
+    the key first (the reference's per-row contains-check implies it)."""
+    w = Window.partitionBy(*keys).orderBy(*new.columns)
+    deduped = (
+        new.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    fresh = deduped.join(existing.select(*keys).distinct(), list(keys), "left_anti")
+    return existing.unionByName(fresh, allowMissingColumns=True)
+
+
+def append_blind(existing: DataFrame, new: DataFrame) -> DataFrame:
+    """K3 — blind bulk append, duplicates expected and resolved downstream
+    by A2/W1 (quirk Q7; ``DbAccess.fs:97-115``)."""
+    return existing.unionByName(new, allowMissingColumns=True)
+
+
+def upsert_emails(
+    existing_emails: DataFrame,
+    existing_junction: DataFrame,
+    new_pairs: DataFrame,
+) -> tuple:
+    """K5 — global email dedup + junction maintenance
+    (``DbAccess.fs:176-218``): two MERGEs —
+    ``MERGE INTO emails ON email WHEN NOT MATCHED INSERT`` then
+    ``MERGE INTO company_email ON (company_id, email_id) WHEN NOT MATCHED
+    INSERT``. email_id for fresh emails continues the dense id space
+    deterministically (ordered by email text)."""
+    max_id = existing_emails.agg(F.coalesce(F.max("email_id"), F.lit(0))).first()[0]
+    fresh = (
+        new_pairs.select("email")
+        .distinct()
+        .join(existing_emails.select("email"), "email", "left_anti")
+        .withColumn(
+            "email_id", F.row_number().over(Window.orderBy("email")) + F.lit(max_id)
+        )
+        .withColumn("bad_ignore_email", F.lit(False))
+    )
+    emails = existing_emails.unionByName(fresh)
+    links = (
+        new_pairs.join(emails.select("email", "email_id"), "email")
+        .select("company_id", "email_id")
+        .distinct()
+    )
+    junction = (
+        existing_junction.unionByName(links)
+        .dropDuplicates(["company_id", "email_id"])
+    )
+    return emails, junction
+
+
+def update_flags(
+    companies: DataFrame, flag_updates: DataFrame, key: str = "company_id"
+) -> DataFrame:
+    """K6/K8 — ``MERGE … WHEN MATCHED THEN UPDATE SET <flags>``
+    (``DbAccess.fs:232-242,282-311``): new flag values win per key."""
+    upd = flag_updates.select(
+        F.col(key),
+        *[F.col(c).alias(f"__u_{c}") for c in flag_updates.columns if c != key],
+    )
+    out = companies.join(upd, key, "left")
+    for c in flag_updates.columns:
+        if c == key:
+            continue
+        out = out.withColumn(c, F.coalesce(F.col(f"__u_{c}"), F.col(c))).drop(f"__u_{c}")
+    return out
+
+
+def high_water_mark(
+    state: DataFrame, name_col: str, name: str, id_col: str = "last_id"
+) -> int:
+    """K7/S5 — mailer resume watermark read
+    (``ConsoleAppMailer/DbAccess.fs:47-60``)."""
+    row = state.filter(F.col(name_col) == name).select(F.max(id_col).alias("m")).first()
+    return int(row["m"]) if row and row["m"] is not None else 0
+
+
+def set_high_water_mark(
+    state: DataFrame, spark, name_col: str, name: str, value: int, id_col: str = "last_id"
+) -> DataFrame:
+    """K7 — upsert the (file, last_id) row (``ConsoleAppMailer/DbAccess.fs:25-45``)."""
+    new = spark.createDataFrame([(name, value)], f"{name_col} string, {id_col} long")
+    kept = state.filter(F.col(name_col) != name)
+    return kept.unionByName(new)

@@ -1,0 +1,365 @@
+"""The flagship pipeline — email-harvest crawl as a round-based DataFrame
+loop (SURVEY.md §3.2 "Spark shape"; reference ``Program.fs:492-567`` +
+``Crawler.fs:316-392``).
+
+Round 0 (seeds): F9 filter → A2 site_url dedup → cap → politeness schedule
+→ fetch join → extract → mailto/email bag → per-company branch (mailto>1
+short-circuit / contact anchors / contact hrefs) → flags + next frontier.
+Round 1 (contact pages): extractor-scope dedup → schedule → fetch → email
+regex only (the reference's ``asyncEmailExtractor`` never expands further).
+Finalize: F10 post-filter → K5 global email dedup + junction.
+
+Every round commits one atomic snapshot (trace, bag, url_seen delta, next
+frontier, flags, counters) — a killed job resumes at the last committed
+round without refetching (C7).
+
+Scale shape per round: one big shuffle (fetch join, AQE-skew-handled), one
+narrow Arrow UDF (extract), window dedups keyed by (company, page) and
+host. No collect() except tiny control counts and manifest counters.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import admission as admission_mod
+from ..functions.canon import base_url as base_url_expr
+from ..functions.canon import canonicalize_url
+from ..functions.emails import finalize_emails
+from ..functions.predicates import (
+    is_contacts_page,
+    is_not_image_script_css_ext,
+    seed_filter,
+)
+from ..operators import extract as X
+from ..operators import frontier as FR
+from ..operators.urlseen import UrlSeen, seen_key
+from ..sources.pages import fetch_join
+from ..storage.snapshots import SnapshotStore
+
+FRONTIER_COLS = ["company_id", "url", "priority", "seq", "base_url"]
+
+EMPTY_SEEN_SCHEMA = "seen_key long, scope string, canonical_url string, round int"
+
+
+@dataclass
+class CrawlConfig:
+    max_depth: int = 2          # seed round + contact round (reference depth)
+    take_limit: int = 100000    # Program.fs:535
+    delay_ms: int = 1000        # smallest reference Thread.Sleep
+    num_partitions: int = 32
+    n_buckets: int = 64         # url_seen bloom buckets (power of two)
+    use_bloom: bool = True
+
+
+def _empty_seen(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], EMPTY_SEEN_SCHEMA)
+
+
+def select_companies(seeds: DataFrame, take_limit: int) -> DataFrame:
+    """F9 ∘ A2 ∘ O3 — crawl-set selection (``Program.fs:525-535``).
+    A2 is the reference's own ROW_NUMBER formulation (UsefulSQLQuery.sql:33-36)."""
+    f = seeds.filter(
+        seed_filter(
+            F.col("site_url"),
+            F.col("bad_url"),
+            F.col("email_processed"),
+            F.col("email_finded"),
+        )
+    )
+    w = Window.partitionBy("site_url").orderBy("company_id")
+    dedup = (
+        f.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+    # TakeOrderedAndProject — top-K without a global sort
+    return dedup.orderBy("company_id").limit(take_limit)
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: DataFrame,
+    out_dir: str,
+    config: CrawlConfig | None = None,
+) -> dict:
+    """Runs (or resumes) the crawl; returns the final tables as DataFrames:
+    emails, company_email, flags, trace, url_seen."""
+    cfg = config or CrawlConfig()
+    store = SnapshotStore(spark, out_dir)
+    useen = UrlSeen(spark, n_buckets=cfg.n_buckets)
+
+    last = store.last_round()
+    start_round = 0 if last is None else last + 1
+
+    for round_id in range(start_round, cfg.max_depth):
+        if round_id == 0:
+            companies = select_companies(seeds, cfg.take_limit)
+            frontier = companies.select(
+                "company_id",
+                F.col("site_url").alias("url"),
+                F.lit(FR.PRIO_SEED).alias("priority"),
+                F.lit(0).alias("seq"),
+                base_url_expr(F.col("site_url")).alias("base_url"),
+            )
+            seen = _empty_seen(spark)
+            # global scope G anti-join (no-op on a fresh store, real on reruns)
+            cand = frontier.withColumn(
+                "seen_key", seen_key(F.lit("G"), canonicalize_url(F.col("url")))
+            )
+            frontier = useen.filter_unseen(cand, seen).drop("seen_key")
+        else:
+            frontier = store.read(round_id - 1, "frontier_next")
+            seen = store.read(round_id - 1, "url_seen")
+            if cfg.use_bloom:
+                useen.build_blooms(seen)
+            scope = F.col("company_id").cast("string")
+            cand = frontier.withColumn(
+                "seen_key", seen_key(scope, canonicalize_url(F.col("url")))
+            )
+            # within-round first-occurrence dedup (the sequential seen.Add)
+            w = Window.partitionBy("company_id", "url").orderBy("priority", "seq")
+            cand = (
+                cand.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            frontier = useen.filter_unseen(cand, seen).drop("seen_key")
+            # extractor gate: non-empty ∧ F2 (Crawler.fs:241)
+            frontier = frontier.filter(
+                (F.col("url") != "") & is_not_image_script_css_ext(F.col("url"))
+            )
+
+        # politeness stamps over full host, then salted spread (W2/C2/C3)
+        sched = FR.schedule(frontier, default_delay_ms=cfg.delay_ms)
+        sched = FR.salted(sched, cfg.num_partitions)
+
+        fetched = fetch_join(sched, pages).localCheckpoint(eager=False)
+
+        trace = fetched.select(
+            F.lit(round_id).alias("round"),
+            "company_id",
+            "priority",
+            "seq",
+            F.col("page_url").alias("url"),
+            F.when(F.col("fetch_ok"), F.lit("fetched"))
+            .otherwise(F.lit("error"))
+            .alias("action"),
+            "host",
+            "host_rank",
+            "not_before",
+            "fetch_error",
+        )
+
+        # IsNullOrWhiteSpace gate on the fetched body (Crawler.fs:326)
+        ok = fetched.filter(
+            F.col("fetch_ok")
+            & F.col("html").isNotNull()
+            & (F.length(F.trim(F.col("html").cast("string"))) > 0)
+        )
+        tokens = X.extract_tokens(ok).join(
+            ok.select("company_id", "page_url", "base_url"),
+            ["company_id", "page_url"],
+            "inner",
+        )
+
+        if round_id == 0:
+            result = _seed_round(spark, cfg, fetched, ok, tokens)
+        else:
+            bag = X.regex_emails(tokens).select("company_id", "email")
+            result = {
+                "bag": bag,
+                "flags": spark.createDataFrame(
+                    [], "company_id long, bad_url boolean, email_processed boolean, email_finded boolean"
+                ),
+                "frontier_next": spark.createDataFrame([], ", ".join(
+                    f"{c} {t}" for c, t in [
+                        ("company_id", "long"), ("url", "string"), ("priority", "int"),
+                        ("seq", "int"), ("base_url", "string"),
+                    ]
+                )),
+            }
+
+        # url_seen delta: everything this round actually attempted
+        if round_id == 0:
+            delta = fetched.select(
+                seen_key(F.lit("G"), canonicalize_url(F.col("page_url"))).alias("seen_key"),
+                F.lit("G").alias("scope"),
+                canonicalize_url(F.col("page_url")).alias("canonical_url"),
+                F.lit(round_id).alias("round"),
+            )
+            url_seen = delta
+        else:
+            delta = fetched.select(
+                seen_key(F.col("company_id").cast("string"), canonicalize_url(F.col("page_url"))).alias("seen_key"),
+                F.col("company_id").cast("string").alias("scope"),
+                canonicalize_url(F.col("page_url")).alias("canonical_url"),
+                F.lit(round_id).alias("round"),
+            )
+            url_seen = seen.unionByName(delta)
+
+        counters = {
+            "pages_fetched": trace.filter(F.col("action") == "fetched").count(),
+            "fetch_errors": trace.filter(F.col("action") == "error").count(),
+            "urls_enqueued": result["frontier_next"].count(),
+            "emails_bagged": result["bag"].count(),
+        }
+        # per-partition lineage (north_rule): rows per salt bucket
+        part_counts = {
+            int(r["host_salt"]): r["n"]
+            for r in sched.groupBy("host_salt").agg(F.count("*").alias("n")).collect()
+        }
+        counters["partition_rows"] = part_counts
+
+        store.commit(
+            round_id,
+            {
+                "trace": trace,
+                "bag": result["bag"],
+                "flags": result["flags"],
+                "frontier_next": result["frontier_next"],
+                "url_seen": url_seen,
+            },
+            counters=counters,
+        )
+
+    return finalize(spark, store, cfg)
+
+
+def _seed_round(spark, cfg, fetched, ok, tokens) -> dict:
+    """Per-company branch logic of round 0 (``Crawler.fs:326-379``)."""
+    mailto = X.mailto_emails(tokens)
+    emails0 = X.regex_emails(tokens)
+
+    per_company = (
+        fetched.select("company_id")
+        .distinct()
+        .join(
+            mailto.groupBy("company_id").agg(F.count("*").alias("n_mailto")),
+            "company_id",
+            "left",
+        )
+        .join(
+            emails0.groupBy("company_id").agg(F.count("*").alias("n_emails")),
+            "company_id",
+            "left",
+        )
+        .fillna(0, ["n_mailto", "n_emails"])
+    )
+
+    # error / empty-html companies → (true, true, false)
+    bad = fetched.filter(
+        ~F.col("fetch_ok")
+        | F.col("html").isNull()
+        | (F.length(F.trim(F.col("html").cast("string"))) == 0)
+    ).select("company_id")
+
+    data_link = X.contact_anchor_links(tokens)  # priority 1
+    # contact-like hrefs (F8 ∘ F4) — only for companies with NO dataLink
+    href_cand = X.href_candidates(tokens)
+    admitted = admission_mod.admit_frontier(
+        href_cand, scope_cols=("company_id", "page_url")
+    )
+    contact_hrefs = admitted.filter(F.col("is_contact"))
+
+    dl_companies = data_link.select("company_id").distinct()
+    contact_hrefs = contact_hrefs.join(dl_companies, "company_id", "left_anti")
+
+    stats = (
+        per_company.join(bad.withColumn("__bad", F.lit(True)).distinct(), "company_id", "left")
+        .join(
+            dl_companies.withColumn("__dl", F.lit(True)), "company_id", "left"
+        )
+        .join(
+            contact_hrefs.select("company_id").distinct().withColumn("__ch", F.lit(True)),
+            "company_id",
+            "left",
+        )
+        .fillna(False, ["__bad", "__dl", "__ch"])
+    )
+
+    flags = stats.select(
+        "company_id",
+        F.col("__bad").alias("bad_url"),
+        F.lit(True).alias("email_processed"),
+        F.when(F.col("__bad"), F.lit(False))
+        .when(F.col("n_mailto") > 1, F.lit(True))
+        .otherwise(
+            F.col("__dl") | F.col("__ch") | (F.col("n_mailto") > 0) | (F.col("n_emails") > 0)
+        )
+        .alias("email_finded"),
+    )
+
+    # frontier expansion blocked for mailto>1 companies (Crawler.fs:343-344)
+    expandable = per_company.filter(F.col("n_mailto") <= 1).select("company_id")
+
+    base_urls = ok.select("company_id", "base_url").distinct()
+    fr_dl = (
+        data_link.join(expandable, "company_id")
+        .join(base_urls, "company_id")
+        .select(
+            "company_id",
+            "url",
+            F.lit(FR.PRIO_CONTACT_ANCHOR).alias("priority"),
+            F.col("seq").cast("int").alias("seq"),
+            "base_url",
+        )
+    )
+    fr_ch = (
+        contact_hrefs.join(expandable, "company_id")
+        .join(base_urls, "company_id")
+        .select(
+            "company_id",
+            "url",
+            F.lit(FR.PRIO_CONTACT_HREF).alias("priority"),
+            F.col("seq").cast("int").alias("seq"),
+            "base_url",
+        )
+    )
+    frontier_next = fr_dl.unionByName(fr_ch)
+
+    bag = (
+        mailto.select("company_id", "email")
+        .unionByName(emails0.select("company_id", "email"))
+    )
+    return {"bag": bag, "flags": flags, "frontier_next": frontier_next}
+
+
+def finalize(spark: SparkSession, store: SnapshotStore, cfg: CrawlConfig) -> dict:
+    """F10 post-filter + K5 global dedup over all committed rounds."""
+    rounds = store.committed_rounds()
+    bag = None
+    trace = None
+    flags = None
+    for r in rounds:
+        b = store.read(r, "bag")
+        t = store.read(r, "trace")
+        fl = store.read(r, "flags")
+        bag = b if bag is None else bag.unionByName(b)
+        trace = t if trace is None else trace.unionByName(t)
+        flags = fl if flags is None else flags.unionByName(fl)
+    url_seen = store.read(rounds[-1], "url_seen")
+
+    filtered = finalize_emails(bag)  # F10
+    # K5: global email dedup — deterministic surrogate ids by email text
+    emails_dim = (
+        filtered.select("email")
+        .distinct()
+        .withColumn("email_id", F.row_number().over(Window.orderBy("email")))
+        .withColumn("bad_ignore_email", F.lit(False))
+    )
+    junction = (
+        filtered.join(emails_dim, "email")
+        .select("company_id", "email_id")
+        .distinct()
+    )
+    return {
+        "emails": emails_dim,
+        "company_email": junction,
+        "email_pairs": filtered,
+        "flags": flags,
+        "trace": trace,
+        "url_seen": url_seen,
+    }

@@ -1,0 +1,63 @@
+"""Mailer plan — entry point 3 (SURVEY.md §3.3;
+``ConsoleAppMailer/Program.fs:45-113``).
+
+We reproduce the engine-relevant semantics: a resumable ordered-batch read
+of the emails table (sorted scan S4, distinct, high-water-mark filter F12,
+take-N O4, fixups X12) plus the watermark/bad-flag state writes (K7/K8).
+The SMTP send itself is out of engine scope — the batch is returned as a
+DataFrame for whatever sink consumes it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.emails import mailer_fixups
+from ..operators.merge import high_water_mark, set_high_water_mark
+
+
+def next_batch(
+    emails: DataFrame,
+    state: DataFrame,
+    template_name: str,
+    batch_size: int = 1000,
+) -> DataFrame:
+    """Ordered resumable batch: ``orderBy(email_id)`` scan, distinct on
+    email text, ``email_id > watermark ∧ ¬bad_ignore_email``, take N,
+    address fixups. TakeOrderedAndProject — no global sort materializes."""
+    wm = high_water_mark(state, "email_file_name", template_name)
+    return (
+        emails.dropDuplicates(["email"])
+        .filter((F.col("email_id") > wm) & ~F.col("bad_ignore_email"))
+        .orderBy("email_id")
+        .limit(batch_size)
+        .withColumn("send_address", mailer_fixups(F.col("email")))
+    )
+
+
+def commit_batch(
+    state: DataFrame, spark, template_name: str, last_sent_id: int
+) -> DataFrame:
+    """K7 — advance the high-water mark after a successful batch."""
+    return set_high_water_mark(
+        state, spark, "email_file_name", template_name, last_sent_id
+    )
+
+
+def mark_bad(emails: DataFrame, bad_ids: DataFrame) -> DataFrame:
+    """K8 — ``bad_ignore_email = true`` for failed sends."""
+    return (
+        emails.join(
+            bad_ids.select(F.col("email_id").alias("__bad_id")).distinct(),
+            emails["email_id"] == F.col("__bad_id"),
+            "left",
+        )
+        .withColumn(
+            "bad_ignore_email",
+            F.when(F.col("__bad_id").isNotNull(), F.lit(True)).otherwise(
+                F.col("bad_ignore_email")
+            ),
+        )
+        .drop("__bad_id")
+    )

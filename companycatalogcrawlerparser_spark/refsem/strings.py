@@ -118,6 +118,36 @@ def trim_email_with_subject(email: str) -> str:
     return email
 
 
+def canonicalize_url(url: str) -> str:
+    """Python twin of ``functions.canon.canonicalize_url`` (north_rule
+    canonical form, docs/SEMANTICS.md §1): lowercase scheme+host, strip
+    fragment + default port, sort query params, empty path → '/'. Non-URL
+    strings pass through trimmed."""
+    import re as _re
+
+    m = _re.match(
+        r"^([A-Za-z][A-Za-z0-9+.-]*)://(?:([^/?#@]*)@)?([^/?#:]*)(?::([0-9]+))?"
+        r"([^?#]*)(?:\?([^#]*))?(?:#.*)?$",
+        url,
+    )
+    if not m:
+        return url.strip()
+    sch = m.group(1).lower()
+    ui, host = m.group(2), m.group(3).lower()
+    prt, pth, qry = m.group(4) or "", m.group(5), m.group(6)
+    default = {"http": "80", "https": "443"}.get(sch, "")
+    out = sch + "://"
+    if ui:
+        out += ui + "@"
+    out += host
+    if prt and prt != default:
+        out += ":" + prt
+    out += pth if pth else "/"
+    if qry:
+        out += "?" + "&".join(sorted(qry.split("&")))
+    return out
+
+
 # --------------------------------------------------------------------------
 # Transliteration (seed URL synthesis) — ``Utils.fs:51-66``
 

@@ -1,0 +1,190 @@
+"""The pages-table fetch join — "the corpus is the web" (J4 + S2/F11).
+
+The reference's live HTTP GET (``Crawler.fs:189-236``) becomes an equi-join
+``frontier ⋈ pages ON url``.
+
+Scale design: redirect rows are a small fraction of any web corpus, so we
+first compute a **redirect-resolution map** by iterating ONLY over the
+redirect subset (transitive closure, hop cap 20 mirroring
+``MaxAutomaticRedirections``, cycle detection via an accumulated visited
+array — the reference's per-call ConcurrentHashSet, ``Crawler.fs:190,225``).
+The frontier then gets ONE broadcast-or-small join against that map to
+rewrite URLs, followed by ONE big shuffle join against content pages — the
+engine's single large shuffle, which AQE sizes and skew-splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.canon import base_url as base_url_expr
+
+MAX_REDIRECTS = 20
+
+
+def load_pages(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def _redirect_admissible(url, status, loc):
+    """F11 — ``Crawler.fs:218-221`` (incl. the reference's operator-
+    precedence quirk: reject only when location starts '://' AND does not
+    end '404.html')."""
+    return (
+        status.isNotNull()
+        & (status >= 300)
+        & (status <= 399)
+        & loc.isNotNull()
+        & (loc != "")
+        & (loc != url)
+        & (((F.length(url) <= 80) & (F.length(loc) <= 80)) | (F.length(url) > 80))
+        & ~(loc.startswith("://") & ~loc.endswith("404.html"))
+    )
+
+
+def _resolve_location(url, loc):
+    """Relative location → absolute against scheme://authority of ``url``
+    (``Crawler.fs:223``)."""
+    return (
+        F.when(loc.startswith("http://") | loc.startswith("https://"), loc)
+        .when(loc.startswith("/"), F.concat(base_url_expr(url), loc))
+        .otherwise(F.concat(base_url_expr(url), F.lit("/"), loc))
+    )
+
+
+def redirect_map(pages: DataFrame) -> DataFrame:
+    """(src_url, resolved_url, resolve_error, hops) for every 3xx page row.
+
+    ``resolved_url`` is where the chain lands (a content URL, or the last
+    redirect URL when the chain errors). ``resolve_error`` is null on
+    success, else redirect_cycle / too_many_redirects / http_3NN.
+    Each iteration touches only still-pending redirect rows.
+    """
+    redirects = (
+        pages.filter((F.col("status") >= 300) & (F.col("status") <= 399))
+        .select(
+            F.col("url").alias("r_url"),
+            F.col("status").alias("r_status"),
+            F.col("redirect_to").alias("r_loc"),
+        )
+        .cache()
+    )
+    redirect_urls = redirects.select(F.col("r_url").alias("t_url")).distinct()
+
+    cur = redirects.select(
+        F.col("r_url").alias("src_url"),
+        F.col("r_url").alias("cur_url"),
+        F.lit(0).alias("hops"),
+        F.array().cast("array<string>").alias("visited"),
+    )
+    done_parts = []
+
+    for _hop in range(MAX_REDIRECTS + 1):
+        j = cur.join(redirects, cur["cur_url"] == redirects["r_url"], "left")
+        is_redirect_row = F.col("r_url").isNotNull()
+        admissible = _redirect_admissible(
+            F.col("cur_url"), F.col("r_status"), F.col("r_loc")
+        )
+        target = _resolve_location(F.col("cur_url"), F.col("r_loc"))
+        is_cycle = admissible & F.array_contains(F.col("visited"), target)
+
+        # landed on a non-redirect URL → resolved
+        done_parts.append(
+            j.filter(~is_redirect_row).select(
+                "src_url",
+                F.col("cur_url").alias("resolved_url"),
+                F.lit(None).cast("string").alias("resolve_error"),
+                "hops",
+            )
+        )
+        # inadmissible redirect or cycle → terminal error
+        done_parts.append(
+            j.filter(is_redirect_row & (~admissible | is_cycle)).select(
+                "src_url",
+                F.col("cur_url").alias("resolved_url"),
+                F.when(is_cycle, F.lit("redirect_cycle"))
+                .otherwise(F.concat(F.lit("http_"), F.col("r_status").cast("string")))
+                .alias("resolve_error"),
+                "hops",
+            )
+        )
+        pending = j.filter(is_redirect_row & admissible & ~is_cycle).select(
+            "src_url",
+            target.alias("cur_url"),
+            (F.col("hops") + 1).alias("hops"),
+            F.array_union(F.col("visited"), F.array(target)).alias("visited"),
+        )
+        # the loop runs over the (small) redirect subset only; localCheckpoint
+        # keeps lineage flat and makes isEmpty cheap
+        pending = pending.localCheckpoint(eager=True)
+        if pending.isEmpty():
+            cur = None
+            break
+        cur = pending
+
+    if cur is not None:
+        done_parts.append(
+            cur.select(
+                "src_url",
+                F.col("cur_url").alias("resolved_url"),
+                F.lit("too_many_redirects").alias("resolve_error"),
+                "hops",
+            )
+        )
+
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def fetch_join(frontier: DataFrame, pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """frontier(…, url) ⋈ pages → one row per frontier row, columns:
+    frontier.* (url renamed page_url) + (final_url, html, fetch_ok,
+    fetch_error, hops).
+
+    Missing page row → ``not_found``; 4xx/5xx → ``http_NNN``; redirect
+    chains pre-resolved via :func:`redirect_map`.
+    """
+    rmap = redirect_map(pages)
+
+    fr = frontier.withColumnRenamed(url_col, "page_url")
+    fr = fr.join(
+        rmap.withColumnRenamed("src_url", "page_url"), "page_url", "left"
+    ).select(
+        *[F.col(c) for c in fr.columns],
+        F.coalesce(F.col("resolved_url"), F.col("page_url")).alias("final_url"),
+        F.col("resolve_error"),
+        F.coalesce(F.col("hops"), F.lit(0)).alias("hops"),
+    )
+
+    content = pages.filter(
+        (F.col("status") < 300) | (F.col("status") >= 400)
+    ).select(
+        F.col("url").alias("__c_url"),
+        F.col("html").alias("__c_html"),
+        F.col("status").alias("__c_status"),
+    )
+
+    j = fr.join(content, fr["final_url"] == content["__c_url"], "left")
+    ok = (
+        F.col("resolve_error").isNull()
+        & F.col("__c_url").isNotNull()
+        & (F.col("__c_status") < 300)
+    )
+    error = (
+        F.when(F.col("resolve_error").isNotNull(), F.col("resolve_error"))
+        .when(F.col("__c_url").isNull(), F.lit("not_found"))
+        .when(
+            F.col("__c_status") >= 400,
+            F.concat(F.lit("http_"), F.col("__c_status").cast("string")),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return j.select(
+        *[F.col(c) for c in fr.columns if c not in ("resolve_error",)],
+        F.when(ok, F.col("__c_html")).alias("html"),
+        ok.alias("fetch_ok"),
+        error.alias("fetch_error"),
+    ).drop("__c_url", "__c_html", "__c_status")

@@ -1,0 +1,333 @@
+"""Deterministic synthetic web generator (SURVEY.md §7 step 0).
+
+Generates the Common-Crawl-shaped pages table ``(url, warc_ts, html binary,
+text, lang)`` plus a ``seeds`` table of companies, with one page kind per
+extraction operator / admission-predicate branch (FIXTURES.md §1). Fully
+deterministic: every choice derives from blake2b of the company index — no
+wall clock, no RNG state. Scales distributively via ``mapInPandas`` over
+``spark.range`` so the bench corpus (500k+ pages) never materializes on the
+driver.
+
+Company variants (i-th company, ``variant = det(i, "variant") % 10``):
+  0  homepage with ≥2 mailto anchors           → mailto>1 short-circuit
+  1  contact ANCHOR named Контакты/feedback    → dataLink path (priority 1)
+  2  contact-like hrefs only                   → F8∘F4 path (priority 2)
+  3  no emails, no contact links               → email_finded = false
+  4  homepage 301-redirects to real homepage   → F11 redirect admission
+  5  dead seed (no pages row)                  → bad_url error path
+  6  redirect cycle a→b→a                      → cycle detection
+  7  plain-text email on homepage only         → emails-nonempty flags
+  8  like 1 + Mail.ru-suffixed email (dropped) → quirk Q10
+  9  like 2 with two contact pages sharing an email → global dedup K5
+A slice of companies shares one hot host (skew testing), and the seeds
+table includes null/blank/social/duplicate site_urls for F9 pruning.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timedelta, timezone
+from typing import Iterator, List, Tuple
+
+EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+HOT_HOST_PCT = 20  # % of companies on one hot host (FIXTURES.md §6 skew)
+
+
+def det(*parts) -> int:
+    """Deterministic 64-bit value from parts."""
+    h = hashlib.blake2b("|".join(str(p) for p in parts).encode(), digest_size=8)
+    return int.from_bytes(h.digest(), "big")
+
+
+def company_host(i: int) -> str:
+    if det(i, "hot") % 100 < HOT_HOST_PCT:
+        return "hot-portal.ru"
+    tld = ["ru", "com", "org"][det(i, "tld") % 3]
+    return f"firm{i}.example.{tld}"
+
+
+def company_home(i: int) -> str:
+    host = company_host(i)
+    if host == "hot-portal.ru":
+        return f"http://hot-portal.ru/firm{i}"
+    return f"http://{host}"
+
+
+def _noise_links(i: int, home: str) -> str:
+    """Href noise exercising every F8 branch (FIXTURES.md §1)."""
+    long_tail = "/contact-" + "x" * 80
+    return (
+        '<a href="/logo.png">logo</a>'
+        '<a href="/app.js">js</a>'
+        '<a href="/style.css">css</a>'
+        '<a href="http://facebook.com/firm">fb</a>'
+        '<a href="http://twitter.com/firm">tw</a>'
+        f'<a href="http://other{i}.net/contact">offhost</a>'
+        '<a href="//cdn.example.com/contact.html">protorel</a>'
+        '<a href="/list?page=2">query-no-topmenu</a>'
+        '<a href="/about.html?x=1&topmenu=yes">query-topmenu</a>'
+        '<a href="/item/12345/">digits</a>'
+        f'<a href="{long_tail}">toolong</a>'
+        '<a href="/news.html">news</a>'
+        f'<a href="{home}/">self</a>'
+    )
+
+
+def _email_set(i: int) -> Tuple[str, str, str]:
+    """(primary, secondary, cyrillic-ish) — deterministic per company."""
+    return (
+        f"info@firm{i}.example.ru",
+        f"sales.dept+{i % 7}@firm{i}.example.ru",
+        f"office{i}@почта{i}.example.ru",  # Cyrillic domain label: \\w matches
+    )
+
+
+def generate_company_pages(i: int) -> Tuple[List[dict], dict]:
+    """Returns (pages, seed_row). Page dict keys: url, status, location,
+    html (str), lang."""
+    variant = det(i, "variant") % 10
+    home = company_home(i)
+    host = company_host(i)
+    e1, e2, e3 = _email_set(i)
+    lang = "ru" if det(i, "lang") % 3 else "en"
+    pages: List[dict] = []
+
+    # hrefs are root-relative; the reference resolves them against
+    # getBaseUrl(seed) = scheme://authority, so on the shared hot host the
+    # path must carry the firm prefix to stay company-unique.
+    prefix = f"/firm{i}" if host == "hot-portal.ru" else ""
+    contact_path = prefix + ["/contact.html", "/kontakty/", "/about-us/", "/feedback"][
+        det(i, "cpath") % 4
+    ]
+    branch_path = prefix + "/kontakt-branch.html"
+    contact_url = f"http://{host}" + contact_path
+
+    contact_html = (
+        f"<html><head><title>Контакты фирмы {i}</title></head><body>"
+        f'<h1>Контакты</h1><a href="mailto:{e1}">написать</a>'
+        f"<p>Почта отдела: {e2}</p>"
+        + (f"<p>old: legacy{i}@Mail.ru</p>" if variant == 8 else "")
+        + (f"<p>также {e3}</p>" if det(i, "e3") % 4 == 0 else "")
+        + (f'<a href="mailto:{e1}?subject=Заявка с сайта">заявка</a>' if i % 3 == 0 else "")
+        + f"</body></html>"
+    )
+
+    base_links = _noise_links(i, home)
+    body_bits = [f"<h1>Фирма {i}</h1><p>Адрес: г. Город-{i % 50}, ул. Ленина, {i % 200}</p>"]
+
+    if variant == 0:
+        body_bits.append(
+            f'<a href="mailto:{e1}">почта</a><a href="mailto:{e2}">ещё почта</a>'
+        )
+    elif variant in (1, 8):
+        body_bits.append(f'<a href="{contact_path}">Контакты</a>')
+    elif variant in (2, 9):
+        body_bits.append(f'<a href="{contact_path}">стр</a>')  # non-contact NAME
+        if variant == 9:
+            body_bits.append(f'<a href="{branch_path}">филиал</a>')
+    elif variant == 3:
+        body_bits.append("<p>Просто текст без почты.</p>")
+    elif variant == 7:
+        body_bits.append(f"<p>Пишите нам: {e1}</p>")
+    else:  # 4,5,6 — homepage content for the redirect target / absent
+        body_bits.append(f'<a href="{contact_path}">Контакты</a>')
+
+    home_html = (
+        f"<html><head><title>Firm {i}</title></head><body>"
+        + "".join(body_bits)
+        + base_links
+        + "</body></html>"
+    )
+
+    if variant == 4:
+        real = home + "/index-real.html"
+        pages.append({"url": home, "status": 301, "location": real, "html": None, "lang": lang})
+        pages.append({"url": real, "status": 200, "location": None, "html": home_html, "lang": lang})
+    elif variant == 5:
+        pass  # dead seed: no row at all
+    elif variant == 6:
+        mid = home + "/step"
+        pages.append({"url": home, "status": 302, "location": mid, "html": None, "lang": lang})
+        pages.append({"url": mid, "status": 302, "location": home, "html": None, "lang": lang})
+    else:
+        pages.append({"url": home, "status": 200, "location": None, "html": home_html, "lang": lang})
+
+    if variant in (1, 2, 8, 9, 4, 6):
+        pages.append({"url": contact_url, "status": 200, "location": None, "html": contact_html, "lang": lang})
+    if variant == 9:
+        # second contact page sharing e1 → exercises global email dedup
+        pages.append({
+            "url": f"http://{host}" + branch_path, "status": 200, "location": None,
+            "html": f'<html><body><a href="mailto:{e1}">mail</a></body></html>',
+            "lang": lang,
+        })
+
+    seed = {
+        "company_id": i,
+        "site_url": home,
+        "bad_url": False,
+        "email_processed": False,
+        "email_finded": False,
+    }
+    return pages, seed
+
+
+def extra_bad_seeds(n: int) -> List[dict]:
+    """F9-prunable seeds: null / blank / social / already-flagged / dup."""
+    out = [
+        {"company_id": n + 1, "site_url": None, "bad_url": False, "email_processed": False, "email_finded": False},
+        {"company_id": n + 2, "site_url": "   ", "bad_url": False, "email_processed": False, "email_finded": False},
+        {"company_id": n + 3, "site_url": "http://vk.com/firm", "bad_url": False, "email_processed": False, "email_finded": False},
+        {"company_id": n + 4, "site_url": company_home(0), "bad_url": True, "email_processed": False, "email_finded": False},
+        {"company_id": n + 5, "site_url": company_home(0), "bad_url": False, "email_processed": False, "email_finded": False},  # dup of company 0
+        {"company_id": n + 6, "site_url": "http://www.abordageshop.ru", "bad_url": False, "email_processed": False, "email_finded": False},
+    ]
+    return out
+
+
+def page_row(p: dict) -> dict:
+    """Final pages-table row with warc_ts/text/binary html derived
+    deterministically. ``text`` = InnerText of the html (the byte-identical
+    extracted-text digest target); redirect rows carry the location in a
+    ``redirect_to`` column with empty html."""
+    from ..refsem.htmlparse import parse_html
+
+    html_str = p["html"] or ""
+    ts = EPOCH + timedelta(seconds=det(p["url"], "ts") % (365 * 24 * 3600))
+    return {
+        "url": p["url"],
+        "warc_ts": ts,
+        "html": html_str.encode("utf-8"),
+        "text": parse_html(html_str).inner_text() if html_str else "",
+        "lang": p["lang"],
+        "status": p["status"],
+        "redirect_to": p["location"],
+    }
+
+
+def build_corpus_local(n_companies: int):
+    """Small-scale corpus for pytest: (pages_rows, seeds_rows)."""
+    pages, seeds = [], []
+    seen = set()
+    for i in range(n_companies):
+        ps, seed = generate_company_pages(i)
+        for p in ps:
+            if p["url"] not in seen:
+                seen.add(p["url"])
+                pages.append(page_row(p))
+        seeds.append(seed)
+    seeds.extend(extra_bad_seeds(n_companies))
+    return pages, seeds
+
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string, "
+    "status int, redirect_to string"
+)
+SEEDS_SCHEMA = (
+    "company_id long, site_url string, bad_url boolean, "
+    "email_processed boolean, email_finded boolean"
+)
+
+
+def build_corpus_spark(spark, n_companies: int, num_partitions: int = 32):
+    """Distributed generation: one task generates a contiguous company
+    range; duplicate hot-host URLs can't collide across companies because
+    every URL embeds its company index. Returns (pages_df, seeds_df)."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                ps, _ = generate_company_pages(int(i))
+                rows.extend(page_row(p) for p in ps)
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "warc_ts", "html", "text", "lang", "status", "redirect_to"],
+            )
+
+    def gen_seeds(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = [generate_company_pages(int(i))[1] for i in b["id"]]
+            yield pd.DataFrame(
+                rows,
+                columns=["company_id", "site_url", "bad_url", "email_processed", "email_finded"],
+            )
+
+    base = spark.range(0, n_companies, numPartitions=num_partitions)
+    pages_df = base.mapInPandas(gen, schema=PAGES_SCHEMA)
+    seeds_df = base.mapInPandas(gen_seeds, schema=SEEDS_SCHEMA)
+    return pages_df, seeds_df
+
+
+# --------------------------------------------------------------------------
+# Catalog-layout fixtures (H1-H8 extraction tests; FIXTURES.md §1 bullets 1-3)
+
+
+def bizly_catalog_page() -> str:
+    return (
+        "<html><body>"
+        '<div class="header">Услуги</div>'
+        '<div class="item">Ремонт: </div>'
+        '<div class="item"><a href="/cat/remont-obuvi/">Ремонт обуви</a>'
+        '<a href="/cat/remont-chasov/">Ремонт часов</a></div>'
+        '<div class="header">Торговля</div>'
+        '<div class="item">Магазины: </div>'
+        '<div class="item"><a href="/cat/produkty/">Продукты</a></div>'
+        "</body></html>"
+    )
+
+
+def bizly_company_page(page: int = 1, total_pages: int = 3) -> str:
+    cards = []
+    for k in range(2):
+        cards.append(
+            '<div class="company">'
+            f'<a href="/company/{page}-{k}/">Компания {page}-{k}</a>'
+            "<ul>"
+            f'<li><i class="glyphicon glyphicon-map-marker"></i> ул. Мира, {k + page}</li>'
+            f"<li><i class=\"glyphicon glyphicon-phone-alt\"></i> +7 495 000-{page}{k}</li>"
+            '<li><i class="glyphicon glyphicon-time"></i> 9-18</li>'
+            f'<li><i class="glyphicon glyphicon-share"></i> http://firm{page}{k}.example.ru</li>'
+            "</ul></div>"
+        )
+    pag = '<div class="pagination">' + "".join(
+        f'<a href="page-{p}/">{p}</a>' for p in range(1, total_pages + 1)
+    ) + "</div>"
+    return "<html><body>" + "".join(cards) + pag + "</body></html>"
+
+
+def spravker_company_page() -> str:
+    import base64
+
+    b64 = base64.b64encode(b"http://spr-firm.example.com").decode()
+    return (
+        "<html><body>"
+        '<div class="list-item hover">'
+        '<a href="/org/1">пропуск</a><a href="/org/1-x">СправФирма</a>'
+        '<div class="row"><div class="left">Адрес:</div><div class="right">пр. Победы, 1</div></div>'
+        '<div class="row"><div class="left">Телефон:</div><div class="right">+7 812 111</div></div>'
+        '<div class="row"><div class="left">Часы работы:</div><div class="right">10-19</div></div>'
+        f'<div class="row"><div class="left">Сайт:</div><div class="right"><span data-link="{b64}">site</span></div></div>'
+        "</div></body></html>"
+    )
+
+
+def jsprav_company_page() -> str:
+    import base64
+
+    b64 = base64.b64encode(b"http://jsp-firm.example.com").decode()
+    return (
+        "<html><body>"
+        '<div class="org"><h3>ЙФирма</h3>'
+        '<a href="/f/1">jsp-firm.example.com</a>'
+        '<ul class="address"><li><p data-lnk="b\'' + b64 + "'\">"
+        '<span class="nm">адрес:</span><span class="value">ул. Садовая, 3</span></p></li>'
+        '<li><p><span class="nm">телефон:</span><span class="value">+7 343 222</span></p></li></ul>'
+        '<ul class="address"><li><p><span class="nm">график (часы) работы:</span><span class="value">8-17</span></p></li></ul>'
+        "</div>"
+        '<div class="org"><h3>БезАдреса</h3><a href="/f/2">no-addr.example.com</a></div>'
+        "</body></html>"
+    )
