@@ -1,0 +1,172 @@
+"""Deduplication family for large-scale training-data pipelines.
+
+All variants are pure native-column plans (no Python in the hot path) and
+deterministic: hashes derive from md5 of the content (not Spark's
+hash/xxhash64) so the DuckDB oracle can reproduce them bit-for-bit.
+
+- exact:      content-hash groupBy (keep min id)
+- minhash:    char-shingle → k min-hashes → banded LSH → candidate pairs
+- simhash:    per-hex-digit majority over token hashes → 16-hex signature
+- ngram jaccard: exact Jaccard over shingle sets for candidate verification
+- embedding near-dup: see ``similarity.cosine_pairs``
+
+Scale notes: minhash signatures are one groupBy over exploded shingles
+(map-side partial min aggregation — the classic pattern); band join
+shuffles only (band_key) buckets; exact-jaccard verification joins only
+candidate pairs, never the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalized(text) -> "F.Column":
+    """Lowercase, collapse whitespace — the dedup canonical form."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact near-identity dedup: md5 over normalized text, keep min id."""
+    d = df.withColumn("content_hash", F.md5(normalized(F.col(text_col))))
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(text, k: int = 5) -> "F.Column":
+    """Distinct char k-shingles of the normalized text (array<string>).
+    Texts shorter than k yield a single shingle = the whole text."""
+    t = normalized(text)
+    n = F.length(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.substring(t, i, F.lit(k)))
+    )
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 5, num_hashes: int = 12,
+) -> DataFrame:
+    """(id, mh_0..mh_{n-1}): per-seed min over md5(shingle || '#' || seed).
+
+    md5 hex strings compare lexicographically the same in Spark and DuckDB,
+    so the signature is engine-portable without 64-bit integer tricks.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 5, num_hashes: int = 12, bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) that collide in ≥1 LSH band."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, k, num_hashes)
+
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("|", *parts).alias("key"))
+        )
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 5, threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-Jaccard ≥ threshold pairs via shingle equi-join
+    (id_a < id_b, sizes via per-doc distinct counts). Intended for
+    verification of LSH candidates or modest corpora; at 10^10 docs run it
+    AFTER :func:`minhash_lsh_pairs` pruning (join on the candidate set)."""
+    ex = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    )
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash16(text) -> "F.Column":
+    """16-char {0,1} signature: bit j = majority over tokens of the top bit
+    of hex digit j of md5(token). Portable to ANSI SQL (see oracle twin)."""
+    tokens = F.array_distinct(F.split(normalized(text), " "))
+    digits = "0123456789abcdef"
+    bit_exprs = []
+    for j in range(1, 17):
+        # +1 when md5(token)[j] in 8..f else -1; majority > 0 → '1'
+        s = F.aggregate(
+            tokens,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(
+                F.substring(F.md5(t), j, 1).isin(*list("89abcdef")), F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        bit_exprs.append(F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bit_exprs)
+
+
+def simhash_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Docs sharing an identical 16-bit simhash (near-dup buckets)."""
+    d = df.select(F.col(id_col), simhash16(F.col(text_col)).alias("simhash"))
+    return (
+        d.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.col("n_docs") >= 2)
+    )
