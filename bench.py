@@ -1,0 +1,234 @@
+"""Benchmark harness.
+
+Default mode: runs the headline suite on local[$SPARK_GRAFT_CPUS] at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
+line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": ..., "throughput": {...}}.
+
+Headline components:
+- crawl:  end-to-end crawl (webgen corpus → frontier rounds → emails) —
+  throughput reported as pages fetched+extracted/sec and frontier URLs
+  dequeued/sec (BASELINE.json metric).
+- heavy queries: the big join+agg, minhash LSH dedup, brute-force ANN,
+  exact dedup, hourly events rollup.
+
+Scaling mode (``--scaling``): runs the crawl job in two subprocesses at
+local[8] and local[32] on the SAME generated corpus and writes
+BENCH/BASELINE.md with both throughputs and efficiency = (T32/T8)/4
+(sandbox proxy for the N→4N-executor rule).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+DEFAULT_COMPANIES = int(os.environ.get("SPARK_GRAFT_CRAWL_COMPANIES", "8000"))
+
+
+def _spark(cores: int):
+    from companycatalogcrawlerparser_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"bench_{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 8),
+    )
+
+
+def gen_corpus(spark, n_companies: int, corpus_dir: str):
+    """Generate + persist the synthetic web once (not counted in timings)."""
+    from companycatalogcrawlerparser_spark.sources.webgen import build_corpus_spark
+
+    pages, seeds = build_corpus_spark(spark, n_companies, num_partitions=32)
+    pages.write.mode("overwrite").parquet(f"{corpus_dir}/pages")
+    seeds.write.mode("overwrite").parquet(f"{corpus_dir}/seeds")
+
+
+def run_crawl_bench(spark, corpus_dir: str, out_dir: str, cores: int) -> dict:
+    from companycatalogcrawlerparser_spark.plans.crawl import CrawlConfig, run_crawl
+    from pyspark.sql import functions as F
+
+    pages = spark.read.parquet(f"{corpus_dir}/pages")
+    seeds = spark.read.parquet(f"{corpus_dir}/seeds")
+    cfg = CrawlConfig(
+        num_partitions=max(cores, 8),
+        n_buckets=64,
+        collect_counters=False,
+    )
+    t0 = time.monotonic()
+    res = run_crawl(spark, pages, seeds, out_dir, cfg)
+    trace = res["trace"]
+    agg = trace.agg(
+        F.count("*").alias("dequeued"),
+        F.sum(F.when(F.col("action") == "fetched", 1).otherwise(0)).alias("fetched"),
+    ).first()
+    n_emails = res["email_pairs"].count()
+    elapsed = time.monotonic() - t0
+    return {
+        "elapsed_sec": round(elapsed, 2),
+        "pages_fetched": int(agg["fetched"]),
+        "frontier_dequeued": int(agg["dequeued"]),
+        "emails_found": n_emails,
+        "pages_per_sec": round(int(agg["fetched"]) / elapsed, 1),
+        "urls_dequeued_per_sec": round(int(agg["dequeued"]) / elapsed, 1),
+        "cores": cores,
+    }
+
+
+def run_query_bench(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as entrymod
+
+    heavy = [
+        "j4_big_join_agg",
+        "dedup_exact",
+        "minhash_lsh_pairs",
+        "simhash_groups",
+        "ann_bruteforce",
+        "ann_lsh",
+        "quality_score",
+        "events_hourly",
+        "f10_email_postfilter",
+        "canonicalize",
+    ]
+    qs = entrymod.queries()
+    out = {}
+    for name in heavy:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main_default(args):
+    spark = _spark(args.cores)
+    corpus_dir = args.corpus_dir or tempfile.mkdtemp(prefix="bench_corpus_")
+    own_corpus = args.corpus_dir is None
+    if own_corpus or not os.path.exists(f"{corpus_dir}/pages"):
+        gen_corpus(spark, args.companies, corpus_dir)
+
+    crawl_out = tempfile.mkdtemp(prefix="bench_crawl_")
+    crawl = run_crawl_bench(spark, corpus_dir, crawl_out, args.cores)
+    queries = run_query_bench(spark, args.sf_dir)
+    shutil.rmtree(crawl_out, ignore_errors=True)
+    if own_corpus:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+
+    total = round(crawl["elapsed_sec"] + sum(queries.values()), 2)
+    queries = {"crawl_e2e": crawl["elapsed_sec"], **queries}
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (crawl e2e + heavy queries)",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": args.sf_dir.rstrip("/").split("sf")[-1],
+                "throughput": {
+                    "pages_fetched_extracted_per_sec": crawl["pages_per_sec"],
+                    "frontier_urls_dequeued_per_sec": crawl["urls_dequeued_per_sec"],
+                    "pages_fetched": crawl["pages_fetched"],
+                    "frontier_dequeued": crawl["frontier_dequeued"],
+                    "emails_found": crawl["emails_found"],
+                    "crawl_companies": args.companies,
+                    "cores": args.cores,
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+def main_crawl_only(args):
+    """Subprocess entry for scaling runs: JSON result to --json-out."""
+    spark = _spark(args.cores)
+    if not os.path.exists(f"{args.corpus_dir}/pages"):
+        gen_corpus(spark, args.companies, args.corpus_dir)
+    out_dir = tempfile.mkdtemp(prefix=f"bench_crawl_{args.cores}_")
+    res = run_crawl_bench(spark, args.corpus_dir, out_dir, args.cores)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    with open(args.json_out, "w") as f:
+        json.dump(res, f)
+    spark.stop()
+
+
+def main_scaling(args):
+    corpus_dir = args.corpus_dir or tempfile.mkdtemp(prefix="bench_corpus_")
+    results = {}
+    for cores in (8, 32):
+        json_out = os.path.join(corpus_dir, f"crawl_{cores}.json")
+        cmd = [
+            sys.executable, __file__, "--crawl-only",
+            "--cores", str(cores), "--companies", str(args.companies),
+            "--corpus-dir", corpus_dir, "--json-out", json_out,
+        ]
+        subprocess.run(cmd, check=True, cwd=REPO)
+        with open(json_out) as f:
+            results[cores] = json.load(f)
+
+    t8, t32 = results[8], results[32]
+    speedup = t32["pages_per_sec"] / t8["pages_per_sec"]
+    efficiency = speedup / 4.0
+    md = f"""# BENCH/BASELINE.md — scaling evidence (N vs 4N cores)
+
+Sandbox proxy for the north_rule's two-cluster-size criterion: the SAME
+crawl job + input corpus ({args.companies} companies,
+{t8['frontier_dequeued']} frontier URLs, {t8['pages_fetched']} pages
+fetched+extracted) run at local[8] and local[32] on one 32-core host.
+
+| cores | wall (s) | pages fetched+extracted/s | frontier URLs dequeued/s |
+|---|---|---|---|
+| 8  | {t8['elapsed_sec']} | {t8['pages_per_sec']} | {t8['urls_dequeued_per_sec']} |
+| 32 | {t32['elapsed_sec']} | {t32['pages_per_sec']} | {t32['urls_dequeued_per_sec']} |
+
+- speedup 8→32 cores (4×): **{speedup:.2f}×**
+- scaling efficiency = speedup/4 = **{efficiency:.2f}** (target ≥ 0.8)
+
+Method notes: throughput = pages fetched+extracted / end-to-end crawl
+wall (both rounds, including snapshot commits and the finalize MERGE —
+no stage cherry-picking). Corpus generation is excluded (shared input).
+Emails found: {t8['emails_found']} (identical across runs — the crawl is
+deterministic by construction).
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps({
+        "metric": "scaling efficiency (local[8] -> local[32])",
+        "value": round(efficiency, 3),
+        "unit": "ratio",
+        "throughput_8": t8["pages_per_sec"],
+        "throughput_32": t32["pages_per_sec"],
+    }))
+    if args.corpus_dir is None:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--crawl-only", action="store_true")
+    ap.add_argument("--cores", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--companies", type=int, default=DEFAULT_COMPANIES)
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--corpus-dir", default=None)
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args()
+    if args.crawl_only:
+        main_crawl_only(args)
+    elif args.scaling:
+        main_scaling(args)
+    else:
+        main_default(args)

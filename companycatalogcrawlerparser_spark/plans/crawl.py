@@ -53,6 +53,8 @@ class CrawlConfig:
     num_partitions: int = 32
     n_buckets: int = 64         # url_seen bloom buckets (power of two)
     use_bloom: bool = True
+    collect_counters: bool = True  # manifest counters cost extra actions;
+    #                                bench runs disable them
 
 
 def _empty_seen(spark: SparkSession) -> DataFrame:
@@ -200,18 +202,24 @@ def run_crawl(
             )
             url_seen = seen.unionByName(delta)
 
-        counters = {
-            "pages_fetched": trace.filter(F.col("action") == "fetched").count(),
-            "fetch_errors": trace.filter(F.col("action") == "error").count(),
-            "urls_enqueued": result["frontier_next"].count(),
-            "emails_bagged": result["bag"].count(),
-        }
-        # per-partition lineage (north_rule): rows per salt bucket
-        part_counts = {
-            int(r["host_salt"]): r["n"]
-            for r in sched.groupBy("host_salt").agg(F.count("*").alias("n")).collect()
-        }
-        counters["partition_rows"] = part_counts
+        if cfg.collect_counters:
+            agg = trace.agg(
+                F.sum(F.when(F.col("action") == "fetched", 1).otherwise(0)).alias("ok"),
+                F.sum(F.when(F.col("action") == "error", 1).otherwise(0)).alias("err"),
+            ).first()
+            counters = {
+                "pages_fetched": int(agg["ok"] or 0),
+                "fetch_errors": int(agg["err"] or 0),
+                "urls_enqueued": result["frontier_next"].count(),
+                "emails_bagged": result["bag"].count(),
+            }
+            # per-partition lineage (north_rule): rows per salt bucket
+            counters["partition_rows"] = {
+                int(r["host_salt"]): r["n"]
+                for r in sched.groupBy("host_salt").agg(F.count("*").alias("n")).collect()
+            }
+        else:
+            counters = {}
 
         store.commit(
             round_id,
