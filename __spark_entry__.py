@@ -639,8 +639,8 @@ FROM documents, LATERAL unnest(generate_series(1, greatest(length({norm_text}) -
         ]
         return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
-    lat = "length(text) - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
-    cyr = "length(text) - length(regexp_replace(text, '[^А-Яа-яЁё]', '', 'g'))"
+    lat = "length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))"
+    cyr = "length(text) - length(regexp_replace(text, '[А-Яа-яЁё]', '', 'g'))"
 
     token_count_sql = (
         "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
@@ -857,8 +857,8 @@ WITH f AS (
   SELECT doc_id,
          CAST(length(text) AS DOUBLE) AS n,
          greatest(CAST(length(text) AS DOUBLE), 1.0) AS safe_n,
-         CAST(length(text) - length(regexp_replace(text, '[^A-Za-zА-Яа-яЁё]', '', 'g')) AS DOUBLE) AS alpha,
-         CAST(length(text) - length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+         CAST(length(text) - length(regexp_replace(text, '[A-Za-zА-Яа-яЁё]', '', 'g')) AS DOUBLE) AS alpha,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits,
          CAST({token_count_sql} AS DOUBLE) AS toks,
          CAST({word_hits_sql(en_sw)} + {word_hits_sql(ru_sw)} AS DOUBLE) AS stop
   FROM documents)

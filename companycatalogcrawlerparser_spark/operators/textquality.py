@@ -22,8 +22,8 @@ RU_STOPWORDS = [
 
 
 def _char_count(text, pattern: str) -> Column:
-    """Number of characters matching the class (length difference trick —
-    identical semantics in Spark and DuckDB regexp_replace)."""
+    """Number of characters matching the class: removing the matches and
+    diffing lengths (identical semantics in Spark and DuckDB)."""
     return F.length(text) - F.length(F.regexp_replace(text, pattern, ""))
 
 
@@ -42,11 +42,11 @@ def _word_hits(text, words) -> Column:
 
 
 def latin_chars(text) -> Column:
-    return _char_count(text, "[^A-Za-z]")
+    return _char_count(text, "[A-Za-z]")
 
 
 def cyrillic_chars(text) -> Column:
-    return _char_count(text, "[^А-Яа-яЁё]")
+    return _char_count(text, "[А-Яа-яЁё]")
 
 
 def predict_lang(text) -> Column:
@@ -88,9 +88,9 @@ def quality_features(text) -> dict:
     """Quality-scoring features: returns named Columns."""
     n = F.length(text).cast("double")
     safe_n = F.greatest(n, F.lit(1.0))
-    alpha = (_char_count(text, "[^A-Za-zА-Яа-яЁё]")).cast("double")
-    digits = _char_count(text, "[^0-9]").cast("double")
-    punct = _char_count(text, r"[^.,;:!?()\[\]«»\"']").cast("double")
+    alpha = (_char_count(text, "[A-Za-zА-Яа-яЁё]")).cast("double")
+    digits = _char_count(text, "[0-9]").cast("double")
+    punct = _char_count(text, r"[.,;:!?()\[\]«»\"']").cast("double")
     toks = token_count(text).cast("double")
     stop = (_word_hits(text, EN_STOPWORDS) + _word_hits(text, RU_STOPWORDS)).cast("double")
     return {

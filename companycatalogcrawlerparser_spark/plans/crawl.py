@@ -37,7 +37,7 @@ from ..functions.predicates import (
 from ..operators import extract as X
 from ..operators import frontier as FR
 from ..operators.urlseen import UrlSeen, seen_key
-from ..sources.pages import fetch_join
+from ..sources.pages import fetch_join, redirect_map
 from ..storage.snapshots import SnapshotStore
 
 FRONTIER_COLS = ["company_id", "url", "priority", "seq", "base_url"]
@@ -96,6 +96,10 @@ def run_crawl(
     last = store.last_round()
     start_round = 0 if last is None else last + 1
 
+    # redirect closure depends only on the corpus — compute once, cache
+    # (small: the 3xx subset), reuse across rounds
+    rmap = redirect_map(pages).cache() if start_round < cfg.max_depth else None
+
     for round_id in range(start_round, cfg.max_depth):
         if round_id == 0:
             companies = select_companies(seeds, cfg.take_limit)
@@ -138,7 +142,7 @@ def run_crawl(
         sched = FR.schedule(frontier, default_delay_ms=cfg.delay_ms)
         sched = FR.salted(sched, cfg.num_partitions)
 
-        fetched = fetch_join(sched, pages).localCheckpoint(eager=False)
+        fetched = fetch_join(sched, pages, rmap=rmap).localCheckpoint(eager=False)
 
         trace = fetched.select(
             F.lit(round_id).alias("round"),
@@ -161,10 +165,16 @@ def run_crawl(
             & F.col("html").isNotNull()
             & (F.length(F.trim(F.col("html").cast("string"))) > 0)
         )
-        tokens = X.extract_tokens(ok).join(
-            ok.select("company_id", "page_url", "base_url"),
-            ["company_id", "page_url"],
-            "inner",
+        # localCheckpoint: the Arrow extract UDF is the most expensive
+        # stage — materialize once, reuse across bag/flags/frontier/commit
+        tokens = (
+            X.extract_tokens(ok)
+            .join(
+                ok.select("company_id", "page_url", "base_url"),
+                ["company_id", "page_url"],
+                "inner",
+            )
+            .localCheckpoint(eager=False)
         )
 
         if round_id == 0:

@@ -139,15 +139,23 @@ def redirect_map(pages: DataFrame) -> DataFrame:
     return out
 
 
-def fetch_join(frontier: DataFrame, pages: DataFrame, url_col: str = "url") -> DataFrame:
+def fetch_join(
+    frontier: DataFrame,
+    pages: DataFrame,
+    url_col: str = "url",
+    rmap: DataFrame | None = None,
+) -> DataFrame:
     """frontier(…, url) ⋈ pages → one row per frontier row, columns:
     frontier.* (url renamed page_url) + (final_url, html, fetch_ok,
     fetch_error, hops).
 
     Missing page row → ``not_found``; 4xx/5xx → ``http_NNN``; redirect
-    chains pre-resolved via :func:`redirect_map`.
+    chains pre-resolved via :func:`redirect_map`. Pass a precomputed
+    (cached) ``rmap`` when fetching repeatedly against the same corpus —
+    the closure depends only on ``pages``.
     """
-    rmap = redirect_map(pages)
+    if rmap is None:
+        rmap = redirect_map(pages)
 
     fr = frontier.withColumnRenamed(url_col, "page_url")
     fr = fr.join(

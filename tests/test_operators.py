@@ -1,0 +1,261 @@
+"""Unit tests: url-seen bloom exactness, dedup family, similarity,
+text quality, multimodal plumbing, streaming ingestion."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from companycatalogcrawlerparser_spark.operators import dedup as D
+from companycatalogcrawlerparser_spark.operators import multimodal as MM
+from companycatalogcrawlerparser_spark.operators import similarity as SIM
+from companycatalogcrawlerparser_spark.operators import textquality as TQ
+from companycatalogcrawlerparser_spark.operators.urlseen import (
+    UrlSeen,
+    _bloom_build,
+    _bloom_probe,
+    seen_key,
+)
+
+
+class TestBloom:
+    def test_no_false_negatives(self):
+        rng = np.random.default_rng(42)
+        keys = rng.integers(-(2**62), 2**62, 5000, dtype=np.int64)
+        m_bits = len(keys) * 12
+        bloom = _bloom_build(keys, m_bits)
+        hits = _bloom_probe(keys.astype(np.uint64), bloom, m_bits)
+        assert hits.all(), "bloom must never miss an inserted key"
+
+    def test_low_false_positive_rate(self):
+        rng = np.random.default_rng(7)
+        keys = rng.integers(-(2**62), 2**62, 5000, dtype=np.int64)
+        other = rng.integers(-(2**62), 2**62, 5000, dtype=np.int64)
+        other = np.setdiff1d(other, keys)
+        m_bits = len(keys) * 12
+        bloom = _bloom_build(keys, m_bits)
+        fp = _bloom_probe(other.astype(np.uint64), bloom, m_bits).mean()
+        assert fp < 0.02, f"false-positive rate too high: {fp}"
+
+    def test_filter_unseen_exactness(self, spark):
+        seen_urls = [f"http://h{i % 7}.ru/p{i}" for i in range(300)]
+        cand_urls = [f"http://h{i % 7}.ru/p{i}" for i in range(150, 450)]
+        seen = spark.createDataFrame(
+            [(u,) for u in seen_urls], ["canonical_url"]
+        ).select(
+            seen_key(F.lit("G"), F.col("canonical_url")).alias("seen_key"),
+            F.lit("G").alias("scope"),
+            "canonical_url",
+            F.lit(0).alias("round"),
+        )
+        cand = spark.createDataFrame([(u,) for u in cand_urls], ["url"]).select(
+            "url", seen_key(F.lit("G"), F.col("url")).alias("seen_key")
+        )
+        us = UrlSeen(spark, n_buckets=16)
+        plain = {r["url"] for r in us.filter_unseen(cand, seen).collect()}
+        us.build_blooms(seen)
+        bloomed = {r["url"] for r in us.filter_unseen(cand, seen).collect()}
+        expected = set(cand_urls) - set(seen_urls)
+        assert plain == expected
+        assert bloomed == expected, "bloom path must equal exact anti-join"
+
+
+class TestDedup:
+    DOCS = [
+        (1, "Foo bar baz qux quux corge grault."),
+        (2, "foo   bar BAZ qux quux corge grault."),   # near-exact of 1
+        (3, "Totally different content about spark engines."),
+        (4, "Totally different content about spark engines!"),  # near of 3
+        (5, "Short."),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.DOCS, ["doc_id", "text"])
+
+    def test_exact_dedup(self, spark):
+        out = D.exact_dedup(self._df(spark))
+        # 1 and 2 normalize identically (case+whitespace) → keep doc 1
+        ids = {r["doc_id"] for r in out.collect()}
+        assert ids == {1, 3, 4, 5}
+
+    def test_minhash_lsh_finds_near_pairs(self, spark):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in D.minhash_lsh_pairs(self._df(spark), num_hashes=8, bands=4).collect()
+        }
+        assert (1, 2) in pairs
+        assert (3, 4) in pairs
+        assert (1, 5) not in pairs
+
+    def test_ngram_jaccard_scores(self, spark):
+        out = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs(self._df(spark), threshold=0.5).collect()
+        }
+        assert out[(1, 2)] > 0.9
+        assert out[(3, 4)] > 0.8
+        assert (1, 3) not in out
+
+    def test_simhash_identical_for_same_tokens(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "gamma  beta ALPHA"), (3, "delta epsilon zeta")],
+            ["doc_id", "text"],
+        )
+        rows = {r["doc_id"]: r["sh"] for r in df.select("doc_id", D.simhash16(F.col("text")).alias("sh")).collect()}
+        assert rows[1] == rows[2]
+        assert rows[1] != rows[3]
+        assert set(rows[1]) <= {"0", "1"} and len(rows[1]) == 16
+
+
+class TestSimilarity:
+    def _emb(self, spark, n=50, dim=8):
+        rng = np.random.default_rng(1)
+        rows = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_bruteforce_topk_self_excluded(self, spark):
+        emb = self._emb(spark)
+        q = emb.filter(F.col("vec_id") < 3)
+        out = SIM.cosine_topk_bruteforce(q, emb, k=4)
+        rows = out.collect()
+        assert len(rows) == 12
+        for r in rows:
+            assert r["query_id"] != r["neighbor_id"]
+            assert 1 <= r["rank"] <= 4
+
+    def test_lsh_recall_reasonable(self, spark):
+        emb = self._emb(spark, n=80)
+        q = emb.filter(F.col("vec_id") < 5)
+        bf = {
+            (r["query_id"], r["neighbor_id"])
+            for r in SIM.cosine_topk_bruteforce(q, emb, k=3).collect()
+        }
+        # near-duplicate vectors land in the same bucket with high prob:
+        # verify the plumbing + that exact copies are always found
+        emb_dup = emb.union(
+            spark.createDataFrame(
+                [(1000, emb.filter(F.col("vec_id") == 0).first()["embedding"])],
+                "vec_id long, embedding array<float>",
+            )
+        )
+        q0 = emb_dup.filter(F.col("vec_id") == 0)
+        lsh = SIM.cosine_topk_lsh(q0, emb_dup, k=3)
+        top = sorted(lsh.collect(), key=lambda r: r["rank"])
+        assert top and top[0]["neighbor_id"] == 1000  # identical vector found
+        assert bf  # sanity
+
+    def test_cosine_pairs_threshold(self, spark):
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        pairs = {(r["id_a"], r["id_b"]) for r in SIM.cosine_pairs(df, 0.99).collect()}
+        assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+class TestTextQuality:
+    def test_langid(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox and the dog"), (2, "привет как дела что нового"),
+             (3, "12345 67890")],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r["lang"] for r in df.select("doc_id", TQ.predict_lang(F.col("text")).alias("lang")).collect()}
+        assert out == {1: "en", 2: "ru", 3: "unknown"}
+
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame([(1, "  a b   c  "), (2, ""), (3, "x1y,z")], ["doc_id", "text"])
+        out = {
+            r["doc_id"]: (r["n"], r["s"])
+            for r in df.select(
+                "doc_id",
+                TQ.token_count(F.col("text")).alias("n"),
+                TQ.bpe_ish_token_count(F.col("text")).alias("s"),
+            ).collect()
+        }
+        assert out[1] == (3, 3)
+        assert out[2][0] == 0
+        assert out[3] == (1, 5)  # x,1,y,",",z runs
+
+    def test_quality_score_ordering(self, spark):
+        df = spark.createDataFrame(
+            [(1, "The report describes the methodology and the results in detail."),
+             (2, "!!! 111 222 $$$ ???")],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r["q"] for r in df.select("doc_id", TQ.quality_score(F.col("text")).alias("q")).collect()}
+        assert out[1] > out[2]
+
+    def test_winnowing(self, spark):
+        df = spark.createDataFrame(
+            [(1, "abcdefghijklmnop"), (2, "abcdefghijklmnop"), (3, "zzzzyyyyxxxxwwww")],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r["fps"] for r in df.select("doc_id", TQ.winnow_fingerprints(F.col("text")).alias("fps")).collect()}
+        assert out[1] == out[2] and out[1] != out[3]
+
+
+class TestMultimodal:
+    def test_image_features_plumbing(self, spark):
+        assets = MM.make_assets(spark, 10, "image")
+        feats = MM.image_features(assets, fake=True)
+        rows = feats.collect()
+        assert len(rows) == 10
+        assert all(len(r["feature"]) == 8 for r in rows)
+        # deterministic: same input → same features
+        again = MM.image_features(assets, fake=True).collect()
+        assert sorted(r["feature"] for r in rows) == sorted(r["feature"] for r in again)
+
+    def test_real_decode_raises(self):
+        with pytest.raises(NotImplementedError):
+            MM._decode_image_real(b"xx")
+
+    def test_frame_sample_and_resize(self, spark):
+        vids = MM.make_assets(spark, 4, "video")
+        frames = MM.frame_sample(vids, every_ms=5000)
+        n = frames.groupBy("asset_id").count().collect()
+        assert all(r["count"] >= 1 for r in n)
+        plan = MM.resize_plan(vids, max_px=32).collect()
+        assert all(r["target_width"] <= 32 and r["target_height"] <= 32 for r in plan)
+
+
+class TestStreaming:
+    def test_host_throughput_available_now(self, spark, tmp_path):
+        from companycatalogcrawlerparser_spark.streaming import events as SE
+        import datetime as dt
+
+        src = str(tmp_path / "events_in")
+        base = dt.datetime(2026, 1, 1, 10, 0, 0)
+        rows = [
+            (base + dt.timedelta(seconds=10 * i), f"http://h{i % 2}.ru/p{i}",
+             f"h{i % 2}.ru", i, i % 5 != 0, 1000 + i, i % 3)
+            for i in range(20)
+        ]
+        spark.createDataFrame(rows, SE.FETCH_EVENT_SCHEMA).write.parquet(src)
+
+        stream = SE.read_fetch_events(spark, src)
+        agg = SE.host_throughput(stream, window="1 minute", watermark="2 minutes")
+        SE.run_complete_to_memory(agg, "host_tp")
+        out = spark.sql("SELECT * FROM host_tp").collect()
+        assert sum(r["fetches"] for r in out) == 20
+        assert {r["host"] for r in out} == {"h0.ru", "h1.ru"}
+
+    def test_streaming_url_seen_dedup(self, spark, tmp_path):
+        from companycatalogcrawlerparser_spark.streaming import events as SE
+        import datetime as dt
+
+        src = str(tmp_path / "seen_in")
+        base = dt.datetime(2026, 1, 1, 10, 0, 0)
+        rows = [
+            (base + dt.timedelta(seconds=i), "http://a.ru/x", "a.ru", 1, True, 10, 0)
+            for i in range(5)
+        ] + [(base + dt.timedelta(seconds=9), "http://a.ru/y", "a.ru", 1, True, 10, 0)]
+        spark.createDataFrame(rows, SE.FETCH_EVENT_SCHEMA).write.parquet(src)
+        stream = SE.read_fetch_events(spark, src)
+        dedup = SE.streaming_url_seen(stream)
+        out_dir = str(tmp_path / "seen_out")
+        ckpt = str(tmp_path / "ckpt")
+        SE.run_available_now(dedup, out_dir, ckpt)
+        got = spark.read.parquet(out_dir)
+        assert got.count() == 2

@@ -1,0 +1,112 @@
+"""Physical-plan audits — the 100-TB design assertions (task brief:
+'push down and prune', 'stay JVM-side', 'broadcast small dims').
+
+These tests read ``explain`` output: they pin the *shape* of the plan so a
+regression that silently de-optimizes (a filter that stops pushing down, a
+dimension join that stops broadcasting, Python creeping into a native
+stage) fails CI, not a 1000-executor run.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from companycatalogcrawlerparser_spark.functions import admission as NA
+from companycatalogcrawlerparser_spark.functions import canon as C
+from companycatalogcrawlerparser_spark.functions import predicates as P
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    from companycatalogcrawlerparser_spark.sources import webgen
+
+    rows, _ = webgen.build_corpus_local(60)
+    path = str(tmp_path_factory.mktemp("pages_pq") / "pages")
+    spark.createDataFrame(rows, schema=webgen.PAGES_SCHEMA).write.parquet(path)
+    return path
+
+
+class TestPushdownAndPruning:
+    def test_filter_pushed_to_parquet(self, spark, pages_parquet):
+        df = spark.read.parquet(pages_parquet).filter(
+            F.col("lang") == "ru"
+        ).select("url", "lang")
+        plan = _plan(df)
+        assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,ru)]" in plan
+
+    def test_column_pruning(self, spark, pages_parquet):
+        df = spark.read.parquet(pages_parquet).select("url", "status")
+        plan = _plan(df)
+        # ReadSchema must NOT include the heavy html column
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+        assert read_schema and "html" not in read_schema[0]
+        assert "url" in read_schema[0] and "status" in read_schema[0]
+
+    def test_status_filter_pushdown_redirects(self, spark, pages_parquet):
+        from companycatalogcrawlerparser_spark.sources.pages import redirect_map
+
+        pages = spark.read.parquet(pages_parquet)
+        rm = redirect_map(pages)
+        # the closure seed scan must push the 3xx range predicate down
+        redirects_scan = pages.filter((F.col("status") >= 300) & (F.col("status") <= 399))
+        plan = _plan(redirects_scan)
+        assert "GreaterThanOrEqual(status,300)" in plan
+        assert rm.columns == ["src_url", "resolved_url", "resolve_error", "hops"]
+
+
+class TestJoinStrategies:
+    def test_dim_join_broadcasts(self, spark):
+        big = spark.range(0, 100000).withColumn("key", F.col("id") % 100)
+        dim = spark.range(0, 100).withColumnRenamed("id", "key").withColumn(
+            "name", F.concat(F.lit("n"), F.col("key"))
+        )
+        joined = big.join(F.broadcast(dim), "key")
+        assert "BroadcastHashJoin" in _plan(joined)
+
+    def test_politeness_dim_join_is_broadcast(self, spark):
+        from companycatalogcrawlerparser_spark.operators.frontier import schedule
+
+        frontier = spark.createDataFrame(
+            [(1, "http://a.ru/x", 0, 0)], ["company_id", "url", "priority", "seq"]
+        )
+        politeness = spark.createDataFrame(
+            [("a.ru", 500), ("*", 1000)], ["host", "delay_ms"]
+        )
+        plan = _plan(schedule(frontier, politeness))
+        assert "BroadcastHashJoin" in plan
+
+
+class TestJvmSideOnly:
+    def test_admission_chain_has_no_python(self, spark):
+        df = spark.createDataFrame(
+            [(1, "http://firm.com", "/contact.html", 0)],
+            ["company_id", "base_url", "href", "seq"],
+        )
+        plan = _plan(NA.admit_frontier(df))
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "FlatMapGroupsInPandas" not in plan
+
+    def test_canon_and_predicates_native(self, spark):
+        df = spark.createDataFrame([("http://www.a.ru/x?b=2&a=1#f",)], ["url"])
+        out = df.select(
+            C.canonicalize_url(F.col("url")).alias("c"),
+            C.url_hash(C.canonicalize_url(F.col("url"))).alias("h"),
+            P.is_contacts_page(F.col("url")).alias("p"),
+        )
+        plan = _plan(out)
+        assert "Python" not in plan
+
+    def test_whole_stage_codegen_covers_filter_chain(self, spark, pages_parquet):
+        df = (
+            spark.read.parquet(pages_parquet)
+            .filter(P.is_not_image_script_css_ext(F.col("url")))
+            .filter(P.not_social_network(F.col("url")))
+            .select("url")
+        )
+        assert "WholeStageCodegen" in _plan(df)
