@@ -20,10 +20,22 @@ host. No collect() except tiny control counts and manifest counters.
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+_TIMING = os.environ.get("SPARK_GRAFT_TIMING", "") == "1"
+_t_last = [time.monotonic()]
+
+
+def _mark(label: str) -> None:
+    if _TIMING:
+        now = time.monotonic()
+        print(f"@@@ {label}: {now - _t_last[0]:.1f}s", flush=True)
+        _t_last[0] = now
 
 from ..functions import admission as admission_mod
 from ..functions.canon import base_url as base_url_expr
@@ -98,7 +110,9 @@ def run_crawl(
 
     # redirect closure depends only on the corpus — compute once, cache
     # (small: the 3xx subset), reuse across rounds
+    _mark("run_crawl entered")
     rmap = redirect_map(pages).cache() if start_round < cfg.max_depth else None
+    _mark("redirect_map built (lazy+cache)")
 
     for round_id in range(start_round, cfg.max_depth):
         if round_id == 0:
@@ -121,6 +135,7 @@ def run_crawl(
             seen = store.read(round_id - 1, "url_seen")
             if cfg.use_bloom:
                 useen.build_blooms(seen)
+                _mark(f"round {round_id} build_blooms")
             scope = F.col("company_id").cast("string")
             cand = frontier.withColumn(
                 "seen_key", seen_key(scope, canonicalize_url(F.col("url")))
@@ -142,7 +157,9 @@ def run_crawl(
         sched = FR.schedule(frontier, default_delay_ms=cfg.delay_ms)
         sched = FR.salted(sched, cfg.num_partitions)
 
+        _mark(f"round {round_id} plan: frontier+schedule built")
         fetched = fetch_join(sched, pages, rmap=rmap).localCheckpoint(eager=False)
+        _mark(f"round {round_id} plan: fetch_join built")
 
         trace = fetched.select(
             F.lit(round_id).alias("round"),
@@ -179,6 +196,7 @@ def run_crawl(
 
         if round_id == 0:
             result = _seed_round(spark, cfg, fetched, ok, tokens)
+            _mark(f"round {round_id} plan: seed_round built")
         else:
             bag = X.regex_emails(tokens).select("company_id", "email")
             result = {
@@ -231,6 +249,7 @@ def run_crawl(
         else:
             counters = {}
 
+        _mark(f"round {round_id} pre-commit")
         store.commit(
             round_id,
             {
@@ -243,13 +262,18 @@ def run_crawl(
             counters=counters,
         )
 
-    return finalize(spark, store, cfg)
+    _mark("rounds done")
+    out = finalize(spark, store, cfg)
+    _mark("finalize built")
+    return out
 
 
 def _seed_round(spark, cfg, fetched, ok, tokens) -> dict:
     """Per-company branch logic of round 0 (``Crawler.fs:326-379``)."""
-    mailto = X.mailto_emails(tokens)
-    emails0 = X.regex_emails(tokens)
+    # each of these subtrees feeds bag + flags + frontier_next — checkpoint
+    # so the three commit writes don't recompute the window chains
+    mailto = X.mailto_emails(tokens).localCheckpoint(eager=False)
+    emails0 = X.regex_emails(tokens).localCheckpoint(eager=False)
 
     per_company = (
         fetched.select("company_id")
@@ -274,7 +298,7 @@ def _seed_round(spark, cfg, fetched, ok, tokens) -> dict:
         | (F.length(F.trim(F.col("html").cast("string"))) == 0)
     ).select("company_id")
 
-    data_link = X.contact_anchor_links(tokens)  # priority 1
+    data_link = X.contact_anchor_links(tokens).localCheckpoint(eager=False)  # priority 1
     # contact-like hrefs (F8 ∘ F4) — only for companies with NO dataLink
     href_cand = X.href_candidates(tokens)
     admitted = admission_mod.admit_frontier(
@@ -283,7 +307,9 @@ def _seed_round(spark, cfg, fetched, ok, tokens) -> dict:
     contact_hrefs = admitted.filter(F.col("is_contact"))
 
     dl_companies = data_link.select("company_id").distinct()
-    contact_hrefs = contact_hrefs.join(dl_companies, "company_id", "left_anti")
+    contact_hrefs = contact_hrefs.join(
+        dl_companies, "company_id", "left_anti"
+    ).localCheckpoint(eager=False)
 
     stats = (
         per_company.join(bad.withColumn("__bad", F.lit(True)).distinct(), "company_id", "left")

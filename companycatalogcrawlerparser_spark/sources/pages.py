@@ -53,6 +53,58 @@ def _resolve_location(url, loc):
     )
 
 
+# below this row count the 3xx closure is resolved driver-side (one
+# collect of the redirect subset) instead of iterative joins — the subset
+# is tiny relative to any real corpus, and the join loop costs ~10 Spark
+# stages that dominate small-scale runs. Above it, the distributed
+# iterative path runs (the 10^10-scale design).
+DRIVER_CLOSURE_MAX_ROWS = 2_000_000
+
+
+def _resolve_chains_py(rows):
+    """Driver-side closure over collected (url, status, loc) redirect rows.
+    Same F11 semantics as the Column-expression path (see
+    ``_redirect_admissible`` / ``_resolve_location``)."""
+    from ..refsem.strings import get_base_url
+
+    by_url = {r[0]: (r[1], r[2]) for r in rows}
+    out = []
+    for src in by_url:
+        cur = src
+        hops = 0
+        visited = set()
+        err = None
+        while True:
+            rec = by_url.get(cur)
+            if rec is None:
+                break  # landed on a non-redirect URL → resolved
+            status, loc = rec
+            loc = loc or ""
+            admissible = (
+                loc != ""
+                and loc != cur
+                and ((len(cur) <= 80 and len(loc) <= 80) or len(cur) > 80)
+                and not (loc.startswith("://") and not loc.endswith("404.html"))
+            )
+            if not admissible:
+                err = f"http_{status}"
+                break
+            if not (loc.startswith("http://") or loc.startswith("https://")):
+                base = get_base_url(cur)
+                loc = base + loc if loc.startswith("/") else base + "/" + loc
+            if loc in visited:
+                err = "redirect_cycle"
+                break
+            visited.add(loc)
+            hops += 1
+            if hops > MAX_REDIRECTS:
+                err = "too_many_redirects"
+                break
+            cur = loc
+        out.append((src, cur, err, hops))
+    return out
+
+
 def redirect_map(pages: DataFrame) -> DataFrame:
     """(src_url, resolved_url, resolve_error, hops) for every 3xx page row.
 
@@ -70,7 +122,15 @@ def redirect_map(pages: DataFrame) -> DataFrame:
         )
         .cache()
     )
-    redirect_urls = redirects.select(F.col("r_url").alias("t_url")).distinct()
+
+    n_redirects = redirects.count()
+    if n_redirects <= DRIVER_CLOSURE_MAX_ROWS:
+        rows = [(r["r_url"], r["r_status"], r["r_loc"]) for r in redirects.collect()]
+        resolved = _resolve_chains_py(rows)
+        spark = pages.sparkSession
+        return spark.createDataFrame(
+            resolved, "src_url string, resolved_url string, resolve_error string, hops int"
+        )
 
     cur = redirects.select(
         F.col("r_url").alias("src_url"),

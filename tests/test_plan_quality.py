@@ -100,7 +100,11 @@ class TestJvmSideOnly:
             P.is_contacts_page(F.col("url")).alias("p"),
         )
         plan = _plan(out)
-        assert "Python" not in plan
+        # (the source scan mentions applySchemaToPythonRDD because the test
+        # data comes from the driver — only UDF *eval* nodes matter)
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                     "FlatMapGroupsInPandas"):
+            assert node not in plan
 
     def test_whole_stage_codegen_covers_filter_chain(self, spark, pages_parquet):
         df = (
