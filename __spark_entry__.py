@@ -393,6 +393,106 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_o5_last_element(spark, sf_dir):
+    """O5 — Seq.last analogue: value at the max-ordered element (ties on
+    l_linenumber broken by quantity then tax — (orderkey, linenumber) is
+    not unique in this synthetic data, so the order key must be total)."""
+    l = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_linenumber").desc(), F.col("l_quantity").desc(), F.col("l_tax").desc()
+    )
+    return (
+        l.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("l_orderkey").alias("orderkey"), F.col("l_quantity").alias("last_qty"))
+    )
+
+
+def q_a6_batch_yield(spark, sf_dir):
+    """A6 — per-chunk email yield (chunkBySize 100 → batch counters)."""
+    e = E.finalize_emails(_emails_tbl(spark, sf_dir))
+    return (
+        e.withColumn("batch_id", (F.col("company_id") % 10).cast("long"))
+        .groupBy("batch_id")
+        .agg(F.count("*").cast("long").alias("emails_found"))
+    )
+
+
+def q_u3_blacklist_except(spark, sf_dir):
+    """U3 — LIKE-based email blacklist delete (UsefulSQLQuery.sql:38-77)."""
+    e = _emails_tbl(spark, sf_dir)
+    keep = (
+        ~F.col("email").like("%info%")
+        & ~F.col("email").like("%.png")
+        & ~F.col("email").like("@%")
+    )
+    return e.filter(keep).select("company_id", "email")
+
+
+def q_s5_point_lookup(spark, sf_dir):
+    """S5 — keyed point lookup."""
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") == 42).select("c_custkey", "c_name")
+
+
+def q_s6_existence_probe(spark, sf_dir):
+    """S6 — EXISTS / left-semi probe."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def q_x7_base64_roundtrip(spark, sf_dir):
+    """X7 — base64 decode path (standards-compliant core; the reference's
+    hand-rolled quirks Q5 are pytest-verified in refsem)."""
+    p = _t(spark, sf_dir, "part")
+    enc = F.base64(F.encode(F.col("p_name"), "utf-8"))
+    return p.select(
+        "p_partkey",
+        enc.alias("b64"),
+        F.decode(F.unbase64(enc), "utf-8").alias("roundtrip"),
+    )
+
+
+def q_x8_trunc(spark, sf_dir):
+    """X8 — trunc(250) analogue."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.substring(F.col("text"), 1, 250).alias("head250")
+    )
+
+
+def q_o6_chunking(spark, sf_dir):
+    """O6 — chunkBySize 50: deterministic chunk ids + per-chunk counts."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    chunked = o.select(
+        "o_orderkey",
+        F.floor((F.row_number().over(w) - 1) / 50).cast("long").alias("chunk_id"),
+    )
+    return chunked.groupBy("chunk_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("o_orderkey").alias("first_key"),
+    )
+
+
+def q_events_running(spark, sf_dir):
+    """Engine extension: running per-user aggregates over the event stream
+    (batch twin of the streaming rollup)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 3).alias("running_value"),
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+    )
+
+
 # ---- training-data ops over documents/embeddings ---------------------------
 
 
@@ -539,6 +639,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f13_tree_slice": q_f13_tree_slice,
         "x6_translit": q_x6_translit,
         "events_hourly": q_events_hourly,
+        "o5_last_element": q_o5_last_element,
+        "a6_batch_yield": q_a6_batch_yield,
+        "u3_blacklist_except": q_u3_blacklist_except,
+        "s5_point_lookup": q_s5_point_lookup,
+        "s6_existence_probe": q_s6_existence_probe,
+        "x7_base64_roundtrip": q_x7_base64_roundtrip,
+        "x8_trunc": q_x8_trunc,
+        "o6_chunking": q_o6_chunking,
+        "events_running": q_events_running,
         "dedup_exact": q_dedup_exact,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -791,6 +900,54 @@ WHERE p_partkey >= 50 AND p_partkey < 150 AND p_name IS NOT NULL
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n, round(sum(value), 3) AS total_value
 FROM events GROUP BY 1, 2
+""",
+        "o5_last_element": """
+WITH r AS (SELECT l_orderkey, l_quantity,
+                  row_number() OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber DESC, l_quantity DESC, l_tax DESC) AS rn
+           FROM lineitem)
+SELECT l_orderkey AS orderkey, l_quantity AS last_qty FROM r WHERE rn = 1
+""",
+        "a6_batch_yield": f"""
+WITH fe AS ({finalize_emails_sql})
+SELECT CAST(company_id % 10 AS BIGINT) AS batch_id, count(*) AS emails_found
+FROM fe GROUP BY 1
+""",
+        "u3_blacklist_except": f"""
+WITH raw AS ({emails})
+SELECT company_id, email FROM raw
+WHERE email NOT LIKE '%info%' AND email NOT LIKE '%.png' AND email NOT LIKE '@%'
+""",
+        "s5_point_lookup": """
+SELECT c_custkey, c_name FROM customer WHERE c_custkey = 42
+""",
+        "s6_existence_probe": """
+SELECT o_orderstatus, count(*) AS n FROM orders
+WHERE EXISTS (SELECT 1 FROM customer
+              WHERE c_custkey = o_custkey AND c_acctbal > 0)
+GROUP BY o_orderstatus
+""",
+        "x7_base64_roundtrip": """
+SELECT p_partkey, to_base64(encode(p_name)) AS b64,
+       decode(from_base64(to_base64(encode(p_name)))) AS roundtrip
+FROM part
+""",
+        "x8_trunc": """
+SELECT doc_id, substring(text, 1, 250) AS head250 FROM documents
+""",
+        "o6_chunking": """
+WITH r AS (SELECT o_orderkey,
+                  CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 50) AS BIGINT) AS chunk_id
+           FROM orders)
+SELECT chunk_id, count(*) AS n, min(o_orderkey) AS first_key
+FROM r GROUP BY chunk_id
+""",
+        "events_running": """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3) AS running_value,
+       lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+FROM events
 """,
         "dedup_exact": f"""
 WITH h AS (SELECT doc_id, md5({norm_text}) AS content_hash FROM documents),

@@ -47,11 +47,11 @@ def _spark(cores: int):
     )
 
 
-def gen_corpus(spark, n_companies: int, corpus_dir: str):
+def gen_corpus(spark, n_companies: int, corpus_dir: str, filler_kb: int = 0):
     """Generate + persist the synthetic web once (not counted in timings)."""
     from companycatalogcrawlerparser_spark.sources.webgen import build_corpus_spark
 
-    pages, seeds = build_corpus_spark(spark, n_companies, num_partitions=32)
+    pages, seeds = build_corpus_spark(spark, n_companies, num_partitions=32, filler_kb=filler_kb)
     pages.write.mode("overwrite").parquet(f"{corpus_dir}/pages")
     seeds.write.mode("overwrite").parquet(f"{corpus_dir}/seeds")
 
@@ -117,7 +117,7 @@ def main_default(args):
     corpus_dir = args.corpus_dir or tempfile.mkdtemp(prefix="bench_corpus_")
     own_corpus = args.corpus_dir is None
     if own_corpus or not os.path.exists(f"{corpus_dir}/pages"):
-        gen_corpus(spark, args.companies, corpus_dir)
+        gen_corpus(spark, args.companies, corpus_dir, args.filler_kb)
 
     crawl_out = tempfile.mkdtemp(prefix="bench_crawl_")
     crawl = run_crawl_bench(spark, corpus_dir, crawl_out, args.cores)
@@ -155,7 +155,7 @@ def main_crawl_only(args):
     """Subprocess entry for scaling runs: JSON result to --json-out."""
     spark = _spark(args.cores)
     if not os.path.exists(f"{args.corpus_dir}/pages"):
-        gen_corpus(spark, args.companies, args.corpus_dir)
+        gen_corpus(spark, args.companies, args.corpus_dir, args.filler_kb)
     out_dir = tempfile.mkdtemp(prefix=f"bench_crawl_{args.cores}_")
     res = run_crawl_bench(spark, args.corpus_dir, out_dir, args.cores)
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -173,6 +173,7 @@ def main_scaling(args):
             sys.executable, __file__, "--crawl-only",
             "--cores", str(cores), "--companies", str(args.companies),
             "--corpus-dir", corpus_dir, "--json-out", json_out,
+            "--filler-kb", str(args.filler_kb),
         ]
         subprocess.run(cmd, check=True, cwd=REPO)
         with open(json_out) as f:
@@ -224,6 +225,7 @@ if __name__ == "__main__":
     ap.add_argument("--companies", type=int, default=DEFAULT_COMPANIES)
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--corpus-dir", default=None)
+    ap.add_argument("--filler-kb", type=int, default=int(os.environ.get("SPARK_GRAFT_FILLER_KB", "0")))
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
     if args.crawl_only:

@@ -83,7 +83,29 @@ def _email_set(i: int) -> Tuple[str, str, str]:
     )
 
 
-def generate_company_pages(i: int) -> Tuple[List[dict], dict]:
+_FILLER_SENTENCE = (
+    "Компания выполняет работы по договору в установленный срок и несёт "
+    "гарантийные обязательства перед заказчиком согласно регламенту. "
+)
+
+
+def _filler(i: int, kb: int) -> str:
+    """Deterministic page bulk: prose (no emails, no hrefs) + noise links
+    that the F8 chain must reject at volume. Sized ≈ ``kb`` KiB — makes the
+    extract/regex stage realistically page-weight-bound for benchmarks."""
+    if kb <= 0:
+        return ""
+    n_links = max(4, kb // 2)
+    links = "".join(
+        f'<a href="/img{i % 7}-{j}.png">p{j}</a>'
+        f'<a href="/item/{1000 + j}/">i{j}</a>'
+        for j in range(n_links // 2)
+    )
+    n_sent = max(1, (kb * 1024 - len(links)) // len(_FILLER_SENTENCE.encode()))
+    return "<p>" + _FILLER_SENTENCE * n_sent + "</p>" + links
+
+
+def generate_company_pages(i: int, filler_kb: int = 0) -> Tuple[List[dict], dict]:
     """Returns (pages, seed_row). Page dict keys: url, status, location,
     html (str), lang."""
     variant = det(i, "variant") % 10
@@ -110,6 +132,7 @@ def generate_company_pages(i: int) -> Tuple[List[dict], dict]:
         + (f"<p>old: legacy{i}@Mail.ru</p>" if variant == 8 else "")
         + (f"<p>также {e3}</p>" if det(i, "e3") % 4 == 0 else "")
         + (f'<a href="mailto:{e1}?subject=Заявка с сайта">заявка</a>' if i % 3 == 0 else "")
+        + _filler(i + 10**9, filler_kb)
         + f"</body></html>"
     )
 
@@ -137,6 +160,7 @@ def generate_company_pages(i: int) -> Tuple[List[dict], dict]:
         f"<html><head><title>Firm {i}</title></head><body>"
         + "".join(body_bits)
         + base_links
+        + _filler(i, filler_kb)
         + "</body></html>"
     )
 
@@ -206,12 +230,12 @@ def page_row(p: dict) -> dict:
     }
 
 
-def build_corpus_local(n_companies: int):
+def build_corpus_local(n_companies: int, filler_kb: int = 0):
     """Small-scale corpus for pytest: (pages_rows, seeds_rows)."""
     pages, seeds = [], []
     seen = set()
     for i in range(n_companies):
-        ps, seed = generate_company_pages(i)
+        ps, seed = generate_company_pages(i, filler_kb)
         for p in ps:
             if p["url"] not in seen:
                 seen.add(p["url"])
@@ -231,7 +255,7 @@ SEEDS_SCHEMA = (
 )
 
 
-def build_corpus_spark(spark, n_companies: int, num_partitions: int = 32):
+def build_corpus_spark(spark, n_companies: int, num_partitions: int = 32, filler_kb: int = 0):
     """Distributed generation: one task generates a contiguous company
     range; duplicate hot-host URLs can't collide across companies because
     every URL embeds its company index. Returns (pages_df, seeds_df)."""
@@ -241,7 +265,7 @@ def build_corpus_spark(spark, n_companies: int, num_partitions: int = 32):
         for b in batches:
             rows = []
             for i in b["id"]:
-                ps, _ = generate_company_pages(int(i))
+                ps, _ = generate_company_pages(int(i), filler_kb)
                 rows.extend(page_row(p) for p in ps)
             yield pd.DataFrame(
                 rows,

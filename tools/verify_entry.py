@@ -46,7 +46,7 @@ def main():
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
-        if only and only not in name:
+        if only and not any(tok in name for tok in only.split(",")):
             continue
         try:
             sdf = fn(spark, sf_dir)
