@@ -210,20 +210,25 @@ def extra_bad_seeds(n: int) -> List[dict]:
     return out
 
 
-def page_row(p: dict) -> dict:
+def page_row(p: dict, with_text: bool = True) -> dict:
     """Final pages-table row with warc_ts/text/binary html derived
     deterministically. ``text`` = InnerText of the html (the byte-identical
     extracted-text digest target); redirect rows carry the location in a
-    ``redirect_to`` column with empty html."""
-    from ..refsem.htmlparse import parse_html
-
+    ``redirect_to`` column with empty html. ``with_text=False`` skips the
+    DOM parse for bench corpora (the crawl reads html, never text)."""
     html_str = p["html"] or ""
+    if with_text and html_str:
+        from ..refsem.htmlparse import parse_html
+
+        text = parse_html(html_str).inner_text()
+    else:
+        text = ""
     ts = EPOCH + timedelta(seconds=det(p["url"], "ts") % (365 * 24 * 3600))
     return {
         "url": p["url"],
         "warc_ts": ts,
         "html": html_str.encode("utf-8"),
-        "text": parse_html(html_str).inner_text() if html_str else "",
+        "text": text,
         "lang": p["lang"],
         "status": p["status"],
         "redirect_to": p["location"],
@@ -266,7 +271,7 @@ def build_corpus_spark(spark, n_companies: int, num_partitions: int = 32, filler
             rows = []
             for i in b["id"]:
                 ps, _ = generate_company_pages(int(i), filler_kb)
-                rows.extend(page_row(p) for p in ps)
+                rows.extend(page_row(p, with_text=(filler_kb == 0)) for p in ps)
             yield pd.DataFrame(
                 rows,
                 columns=["url", "warc_ts", "html", "text", "lang", "status", "redirect_to"],
