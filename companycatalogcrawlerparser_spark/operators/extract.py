@@ -1,16 +1,17 @@
 """Vectorized fetch+extract stage (SURVEY.md §2.11 UDF surface).
 
-One Arrow-batched ``mapInPandas`` UDTF turns fetched html into token rows
-(href candidates, anchor pairs, plain-email matches) using the SAME regex +
-char-trim helpers as the pure-Python oracle (``refsem.extract``) — byte
-parity by construction. Everything downstream of tokenization (mailto
-derivation, Mail.ru drop, dedup, contact-anchor filtering, the F8 admission
-chain) is native Column work, JVM-side.
+One Arrow-batched ``mapInPandas`` UDTF turns fetched html into ONE compact
+row per page carrying token ARRAYS (href candidates, anchor pairs,
+plain-email matches) using the SAME regex + char-trim helpers as the
+pure-Python oracle (``refsem.extract``) — byte parity by construction.
+Downstream consumers ``posexplode`` only the array they need, JVM-side.
 
-Scale notes: the UDF is a narrow map — no shuffle; Arrow transfers html
-bytes once. Token rows are small strings; the subsequent window dedups
-shuffle on (company_id, page) keys which are well-distributed after the
-host-salted repartition of the fetch stage.
+Why arrays instead of one-row-per-token: a 100k-page round yields ~10M
+token rows; shipping them through Arrow row-by-row and re-reading them
+from the checkpoint for every consumer measured as the dominant cost.
+Per-page arrays cut the Arrow row count 100×, keep document order as
+array order (``posexplode`` regenerates ``seq``), and make the checkpoint
+compact.
 """
 
 from __future__ import annotations
@@ -27,18 +28,18 @@ from ..functions.predicates import (
 )
 from ..refsem.extract import CONTACT_ANCHOR_WORDS
 
-TOKENS_SCHEMA = (
-    "company_id long, page_url string, kind string, value string, "
-    "name string, seq int"
+PAGE_TOKENS_SCHEMA = (
+    "company_id long, page_url string, hrefs array<string>, "
+    "anchor_names array<string>, anchor_urls array<string>, "
+    "emails array<string>"
 )
 
 
 def extract_tokens(fetched: DataFrame) -> DataFrame:
-    """fetched: (company_id, page_url, html binary, ...) → token rows.
-
-    kinds: ``href``  — char-trimmed href-match values (Crawler.fs:156-157)
-           ``anchor``— (name, raw href) pairs from the anchor regex
-           ``email`` — raw plain-text email regex matches (doc order)
+    """fetched: (company_id, page_url, html binary, …) → one row per page:
+    ``hrefs``        char-trimmed href-match values (Crawler.fs:156-157)
+    ``anchor_names/anchor_urls`` parallel arrays from the anchor regex
+    ``emails``       raw plain-text email regex matches (doc order)
     """
     import pandas as pd
 
@@ -51,30 +52,37 @@ def extract_tokens(fetched: DataFrame) -> DataFrame:
         )
 
         for b in batches:
-            out = {k: [] for k in ("company_id", "page_url", "kind", "value", "name", "seq")}
-
-            def emit(cid, purl, kind, value, name, seq):
-                out["company_id"].append(cid)
-                out["page_url"].append(purl)
-                out["kind"].append(kind)
-                out["value"].append(value)
-                out["name"].append(name)
-                out["seq"].append(seq)
-
+            out = {
+                "company_id": [], "page_url": [], "hrefs": [],
+                "anchor_names": [], "anchor_urls": [], "emails": [],
+            }
             for cid, purl, html in zip(b["company_id"], b["page_url"], b["html"]):
                 if html is None:
                     continue
                 text = bytes(html).decode("utf-8", errors="replace")
-                for seq, v in enumerate(_href_match_values(text)):
-                    emit(cid, purl, "href", v, None, seq)
-                for seq, m in enumerate(ANCHOR_RE.finditer(text)):
-                    emit(cid, purl, "anchor", m.group("url"), m.group("name"), seq)
-                for seq, m in enumerate(MULTIPLE_EMAIL_RE.finditer(text)):
-                    emit(cid, purl, "email", m.group(0), None, seq)
+                anchors = ANCHOR_RE.findall(text)  # [(url, name), ...]
+                out["company_id"].append(cid)
+                out["page_url"].append(purl)
+                out["hrefs"].append(_href_match_values(text))
+                out["anchor_urls"].append([a[0] for a in anchors])
+                out["anchor_names"].append([a[1] for a in anchors])
+                out["emails"].append(
+                    [m.group(0) for m in MULTIPLE_EMAIL_RE.finditer(text)]
+                )
             yield pd.DataFrame(out)
 
     cols = fetched.select("company_id", F.col("page_url"), "html")
-    return cols.mapInPandas(run, schema=TOKENS_SCHEMA)
+    return cols.mapInPandas(run, schema=PAGE_TOKENS_SCHEMA)
+
+
+def _explode(tokens: DataFrame, array_col: str, value_alias: str) -> DataFrame:
+    """posexplode one token array → (…, seq, <value_alias>), doc order."""
+    return tokens.select(
+        "company_id",
+        "page_url",
+        "base_url",
+        F.posexplode(F.col(array_col)).alias("seq", value_alias),
+    )
 
 
 def _first_occurrence(df: DataFrame, keys, order_col="seq") -> DataFrame:
@@ -91,11 +99,10 @@ def mailto_emails(tokens: DataFrame) -> DataFrame:
     """X11 — ``searchMailToResults`` (Crawler.fs:125-133): href values that
     start with ``mailto:`` (case-insensitive), lowercased, prefix removed
     with Replace-all semantics, distinct per page."""
+    df = _explode(tokens, "hrefs", "value")
     low = F.lower(F.col("value"))
-    df = (
-        tokens.filter(F.col("kind") == "href")
-        .filter(low.startswith("mailto:"))
-        .withColumn("email", F.replace(low, F.lit("mailto:"), F.lit("")))
+    df = df.filter(low.startswith("mailto:")).withColumn(
+        "email", F.replace(low, F.lit("mailto:"), F.lit(""))
     )
     return _first_occurrence(
         df.select("company_id", "page_url", "email", "seq"),
@@ -106,9 +113,9 @@ def mailto_emails(tokens: DataFrame) -> DataFrame:
 def regex_emails(tokens: DataFrame) -> DataFrame:
     """Plain-text email matches, per-page distinct, ``Mail.ru`` suffix
     dropped case-sensitively AFTER distinct (quirk Q10, Crawler.fs:334-337)."""
-    df = tokens.filter(F.col("kind") == "email")
+    df = _explode(tokens, "emails", "email")
     df = _first_occurrence(
-        df.select("company_id", "page_url", F.col("value").alias("email"), "seq"),
+        df.select("company_id", "page_url", "email", "seq"),
         ["company_id", "page_url", "email"],
     )
     return df.filter(~F.col("email").endswith("Mail.ru"))
@@ -116,17 +123,30 @@ def regex_emails(tokens: DataFrame) -> DataFrame:
 
 def contact_anchor_links(tokens: DataFrame, base_url_col: str = "base_url") -> DataFrame:
     """H10 ∘ C2 — ``FindLinksRegExp`` + contact-name filter
-    (Crawler.fs:51-63, 346-353). ``tokens`` must carry ``base_url`` (the
-    page's getBaseUrl) — join it in before calling. Returns
-    (company_id, page_url, url, seq) in document order of first occurrence
-    of each (name, url) pair."""
+    (Crawler.fs:51-63, 346-353). Returns (company_id, page_url, url, seq)
+    in document order of first occurrence of each (name, url) pair."""
     from ..functions.canon import host_token
 
+    pairs = tokens.select(
+        "company_id",
+        "page_url",
+        "base_url",
+        F.posexplode(
+            F.arrays_zip(
+                F.col("anchor_names").alias("name"),
+                F.col("anchor_urls").alias("href"),
+            )
+        ).alias("seq", "pair"),
+    ).select(
+        "company_id", "page_url", "base_url", "seq",
+        F.col("pair.name").alias("name"), F.col("pair.href").alias("value"),
+    )
     base_raw = F.col(base_url_col)
-    base = F.when(base_raw.endswith("/"), base_raw).otherwise(F.concat(base_raw, F.lit("/")))
+    base = F.when(base_raw.endswith("/"), base_raw).otherwise(
+        F.concat(base_raw, F.lit("/"))
+    )
     df = (
-        tokens.filter(F.col("kind") == "anchor")
-        .withColumn("url", convert_url(F.col("value"), base))
+        pairs.withColumn("url", convert_url(F.col("value"), base))
         .withColumn("__host", host_token(base))
     )
     df = df.filter(
@@ -147,10 +167,7 @@ def contact_anchor_links(tokens: DataFrame, base_url_col: str = "base_url") -> D
 def href_candidates(tokens: DataFrame, base_url_col: str = "base_url") -> DataFrame:
     """Raw href values + base, ready for the F8 admission chain
     (``functions.admission.admit_frontier``)."""
-    return tokens.filter(F.col("kind") == "href").select(
-        "company_id",
-        "page_url",
-        F.col("value").alias("href"),
-        F.col(base_url_col).alias("base_url"),
-        "seq",
+    return _explode(tokens, "hrefs", "href").select(
+        "company_id", "page_url", "href",
+        F.col(base_url_col).alias("base_url"), "seq",
     )

@@ -27,16 +27,6 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-_TIMING = os.environ.get("SPARK_GRAFT_TIMING", "") == "1"
-_t_last = [time.monotonic()]
-
-
-def _mark(label: str) -> None:
-    if _TIMING:
-        now = time.monotonic()
-        print(f"@@@ {label}: {now - _t_last[0]:.1f}s", flush=True)
-        _t_last[0] = now
-
 from ..functions import admission as admission_mod
 from ..functions.canon import base_url as base_url_expr
 from ..functions.canon import canonicalize_url
@@ -51,6 +41,18 @@ from ..operators import frontier as FR
 from ..operators.urlseen import UrlSeen, seen_key
 from ..sources.pages import fetch_join, redirect_map
 from ..storage.snapshots import SnapshotStore
+
+_TIMING = os.environ.get("SPARK_GRAFT_TIMING", "") == "1"
+_t_last = [time.monotonic()]
+
+
+def _mark(label: str) -> None:
+    """Phase-timing telemetry, enabled via SPARK_GRAFT_TIMING=1."""
+    if _TIMING:
+        now = time.monotonic()
+        print(f"@@@ {label}: {now - _t_last[0]:.1f}s", flush=True)
+        _t_last[0] = now
+
 
 FRONTIER_COLS = ["company_id", "url", "priority", "seq", "base_url"]
 
@@ -67,6 +69,10 @@ class CrawlConfig:
     use_bloom: bool = True
     collect_counters: bool = True  # manifest counters cost extra actions;
     #                                bench runs disable them
+    broadcast_frontier: bool = True  # per-round frontier ≤ take_limit rows
+    #   → broadcast it and STREAM the corpus (html never shuffles/sorts);
+    #   disable only for frontier batches beyond broadcast size, where the
+    #   pages table should be bucketed by url_hash instead
 
 
 def _empty_seen(spark: SparkSession) -> DataFrame:
@@ -158,7 +164,9 @@ def run_crawl(
         sched = FR.salted(sched, cfg.num_partitions)
 
         _mark(f"round {round_id} plan: frontier+schedule built")
-        fetched = fetch_join(sched, pages, rmap=rmap).localCheckpoint(eager=False)
+        fetched = fetch_join(
+            sched, pages, rmap=rmap, broadcast_frontier=cfg.broadcast_frontier
+        ).localCheckpoint(eager=False)
         _mark(f"round {round_id} plan: fetch_join built")
 
         trace = fetched.select(

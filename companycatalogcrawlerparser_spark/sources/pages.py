@@ -204,6 +204,7 @@ def fetch_join(
     pages: DataFrame,
     url_col: str = "url",
     rmap: DataFrame | None = None,
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
     """frontier(…, url) ⋈ pages → one row per frontier row, columns:
     frontier.* (url renamed page_url) + (final_url, html, fetch_ok,
@@ -213,13 +214,26 @@ def fetch_join(
     chains pre-resolved via :func:`redirect_map`. Pass a precomputed
     (cached) ``rmap`` when fetching repeatedly against the same corpus —
     the closure depends only on ``pages``.
+
+    Join strategy (the engine's scale-critical decision): with
+    ``broadcast_frontier`` (default), the per-round frontier — orders of
+    magnitude smaller than the corpus — is BROADCAST and the corpus
+    STREAMS through an inner hash join, so page html is never shuffled or
+    sorted; unmatched frontier rows come from a cheap second pass that
+    column-prunes the scan to ``url`` only. A sort-merge join here would
+    sort the full html payload (measured: disk-bound and core-count-
+    independent). Set ``broadcast_frontier=False`` only when a round's
+    frontier is too big to broadcast — at that scale both sides should be
+    bucketed by ``url_hash`` so the join is co-located anyway.
     """
     if rmap is None:
         rmap = redirect_map(pages)
 
     fr = frontier.withColumnRenamed(url_col, "page_url")
     fr = fr.join(
-        rmap.withColumnRenamed("src_url", "page_url"), "page_url", "left"
+        F.broadcast(rmap.withColumnRenamed("src_url", "page_url")),
+        "page_url",
+        "left",
     ).select(
         *[F.col(c) for c in fr.columns],
         F.coalesce(F.col("resolved_url"), F.col("page_url")).alias("final_url"),
@@ -235,7 +249,25 @@ def fetch_join(
         F.col("status").alias("__c_status"),
     )
 
-    j = fr.join(content, fr["final_url"] == content["__c_url"], "left")
+    if broadcast_frontier:
+        found = content.join(
+            F.broadcast(fr), fr["final_url"] == content["__c_url"], "inner"
+        )
+        # frontier rows with no content row: second corpus pass, pruned to
+        # the url column (parquet reads only that column)
+        content_keys = pages.filter(
+            (F.col("status") < 300) | (F.col("status") >= 400)
+        ).select(F.col("url").alias("final_url"))
+        missing = (
+            fr.join(content_keys, "final_url", "left_anti")
+            .withColumn("__c_url", F.lit(None).cast("string"))
+            .withColumn("__c_html", F.lit(None).cast("binary"))
+            .withColumn("__c_status", F.lit(None).cast("int"))
+        )
+        j = found.select(*[F.col(c) for c in missing.columns]).unionByName(missing)
+    else:
+        j = fr.join(content, fr["final_url"] == content["__c_url"], "left")
+
     ok = (
         F.col("resolve_error").isNull()
         & F.col("__c_url").isNotNull()

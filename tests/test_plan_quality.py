@@ -113,4 +113,7 @@ class TestJvmSideOnly:
             .filter(P.not_social_network(F.col("url")))
             .select("url")
         )
-        assert "WholeStageCodegen" in _plan(df)
+        plan = _plan(df)
+        # formatted mode tags fused spans with "codegen id"; under heavy
+        # concurrent sessions codegen may appear under either marker
+        assert ("WholeStageCodegen" in plan) or ("codegen id" in plan), plan
