@@ -34,6 +34,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # post-shuffle coalescing at the default 64 MB advisory collapsed
+        # regex-heavy window stages to half the cores; 16 MB keeps CPU-bound
+        # stages wide while still batching tiny rounds
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # pages are heavy rows (10-100 KB html each): the default 10k-row
         # Arrow batch would put GBs in every Python worker — cap it so a
