@@ -13,9 +13,10 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.extract import _first_occurrence
 from .canon import host_token
 from .predicates import (
     count_substring,
@@ -74,10 +75,8 @@ def admit_frontier(
     )
 
     # Seq.distinct #1 — first occurrence of each raw href within the page
-    w1 = Window.partitionBy(*scope, href_col).orderBy(seq_col)
-    stage = stage.withColumn("__rn", F.row_number().over(w1)).filter(
-        F.col("__rn") == 1
-    ).drop("__rn")
+    # (hash aggregation with map-side combine; see extract._first_occurrence)
+    stage = _first_occurrence(stage, [*scope, href_col], seq_col)
 
     # relative→absolute (inline twin of convertUrl, Crawler.fs:171-180)
     resolved = (
@@ -117,10 +116,7 @@ def admit_frontier(
     )
 
     # Seq.distinct #2 — first occurrence of each admitted URL within the page
-    w2 = Window.partitionBy(*scope, "url").orderBy(seq_col)
-    stage = stage.withColumn("__rn", F.row_number().over(w2)).filter(
-        F.col("__rn") == 1
-    ).drop("__rn")
+    stage = _first_occurrence(stage, [*scope, "url"], seq_col)
 
     return stage.select(
         *scope,

@@ -86,13 +86,24 @@ def _explode(tokens: DataFrame, array_col: str, value_alias: str) -> DataFrame:
 
 
 def _first_occurrence(df: DataFrame, keys, order_col="seq") -> DataFrame:
-    """F# ``Seq.distinct`` under parallelism: keep the minimum-seq row."""
-    w = Window.partitionBy(*keys).orderBy(order_col)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    """F# ``Seq.distinct`` under parallelism: keep the minimum-seq row.
+
+    Implemented as a hash aggregation (``min`` over seq + any carried
+    columns packed in a struct) instead of a row_number window: aggregates
+    get map-side partial combine and skip the per-partition sort — at 10^7
+    token rows per round the sort was a measured hotspot. Carried columns
+    ride in the struct so ties resolve deterministically by seq order.
+    """
+    keys = list(keys)
+    carry = [c for c in df.columns if c not in keys and c != order_col]
+    packed = F.min(F.struct(F.col(order_col), *[F.col(c) for c in carry])).alias("__m")
+    out = df.groupBy(*keys).agg(packed)
+    cols = (
+        [F.col(k) for k in keys]
+        + [F.col(f"__m.{order_col}").alias(order_col)]
+        + [F.col(f"__m.{c}").alias(c) for c in carry]
     )
+    return out.select(*cols).select(*df.columns)
 
 
 def mailto_emails(tokens: DataFrame) -> DataFrame:
