@@ -3,35 +3,48 @@ canonicalized+hashed URLs + an exact anti-join (north_rule).
 
 Replaces the reference's ``ConcurrentHashSet`` visited sets
 (``Crawler.fs:190,290-291,314,320``). Three scopes exist (quirk Q11):
-global seed scope and per-company extractor scope — encoded in one 64-bit
-``seen_key = xxhash64(scope, canonical_url)``.
+global seed scope and per-company extractor scope — the bloom layer keys on
+one 64-bit ``seen_key = xxhash64(scope, canonical_url)``; the EXACT
+verification joins on the real ``(scope, canonical_url)`` columns, never the
+hash alone — at 10^10 URLs 64-bit birthday collisions are expected, and a
+hash-only anti-join would silently drop never-visited URLs.
 
 Architecture (SURVEY.md §4 strategy 2):
 - the EXACT anti-join against the persisted ``url_seen`` table is the
   correctness anchor — the bloom layer only prunes work;
-- blooms are built per hash-bucket (``pmod(seen_key, n_buckets)``) with
-  ``applyInPandas`` (numpy bit array, double hashing), persisted beside the
-  snapshot so a restart reuses them;
-- candidates probe the bloom of their own bucket via a broadcast dict;
-  bloom-negatives are *definitely new* and skip the exact probe entirely —
+- blooms are built per hash-bucket (``pmod(seen_key, n_buckets)``) INSIDE
+  ``applyInPandas`` — seen keys never leave the executors; the build output
+  is a tiny ``(bucket, m_bits, bloom)`` DataFrame persisted beside the
+  snapshot so a restart reuses it;
+- probing is distributed by default: candidates cogroup with the bloom
+  table on bucket, each task probing its bucket's filter. When the total
+  bloom payload fits under ``driver_gate_bytes`` (local mode / small runs)
+  the filters are collected once and broadcast instead, skipping the
+  probe-side shuffle — an explicit size-gated fast path, not the design;
+- bloom-negatives are *definitely new* and skip the exact probe entirely —
   at 10^10 URLs the anti-join input shrinks to the tiny positive slice.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 BLOOM_K = 7
 BLOOM_BITS_PER_KEY = 12  # ~0.3% false-positive rate at k=7
 
+BLOOM_TABLE_SCHEMA = "bucket long, m_bits long, bloom binary"
+
+EXACT_KEYS = ["scope", "canonical_url"]
+
 
 def seen_key(scope_col, canonical_url_col):
-    """64-bit scoped membership key."""
+    """64-bit scoped membership key — bloom/bucket layer ONLY."""
     return F.xxhash64(scope_col, canonical_url_col)
 
 
@@ -68,92 +81,166 @@ def _bloom_probe(keys: np.ndarray, bloom: bytes, m_bits: int) -> np.ndarray:
 
 
 class UrlSeen:
-    """In-session handle over the url_seen table + its bucket blooms.
+    """Handle over the url_seen table + its bucket blooms.
 
     The table itself lives in the snapshot store (parquet); this class only
     defines the plan fragments.
     """
 
-    def __init__(self, spark, n_buckets: int = 64):
+    def __init__(self, spark, n_buckets: int = 64, driver_gate_bytes: int = 256 << 20):
         if n_buckets & (n_buckets - 1):
             # power of two keeps numpy's uint64 modulo consistent with
             # Spark's pmod on signed keys (2^64 % n == 0)
             raise ValueError("n_buckets must be a power of two")
         self.spark = spark
         self.n_buckets = n_buckets
-        self._blooms: Optional[Dict[int, bytes]] = None
-        self._m_bits: int = 0
+        self.driver_gate_bytes = driver_gate_bytes
+        self._blooms: Optional[Dict[int, Tuple[bytes, int]]] = None  # broadcast path
+        self._blooms_df: Optional[DataFrame] = None                  # cogroup path
 
     # -- bloom lifecycle ---------------------------------------------------
 
-    def build_blooms(self, seen: DataFrame) -> None:
-        """Collect per-bucket blooms to the driver (each bucket's filter is
-        KB-scale; 10^10 keys / 64k buckets × 12 bits ≈ 230 KB per bucket —
-        on a real cluster these stay distributed via join instead; the
-        broadcast-dict variant is the local-mode fast path)."""
-        n = seen.count()
-        m_bits = max(1 << 14, int(n * BLOOM_BITS_PER_KEY // max(1, self.n_buckets)))
-        rows = (
-            seen.select(
-                F.pmod(F.col("seen_key"), F.lit(self.n_buckets)).alias("bucket"),
-                "seen_key",
+    def bloom_table(self, seen: DataFrame) -> DataFrame:
+        """Fully distributed per-bucket bloom build: keys are grouped by
+        ``pmod(seen_key, n_buckets)`` and each bucket's filter is built
+        inside ``applyInPandas`` — the keys never reach the driver; only the
+        finished filter bytes (KB-scale per bucket) do, and only behind the
+        size gate. Per-bucket ``m_bits`` sizes to the bucket's actual load
+        (skewed buckets simply get a bigger, still-KB-scale filter)."""
+        import pandas as pd
+
+        bits_per_key = BLOOM_BITS_PER_KEY
+
+        def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            keys = pdf["seen_key"].to_numpy(dtype=np.int64)
+            m_bits = max(1 << 14, int(len(keys)) * bits_per_key)
+            return pd.DataFrame(
+                {
+                    "bucket": [int(pdf["bucket"].iloc[0])],
+                    "m_bits": [m_bits],
+                    "bloom": [_bloom_build(keys, m_bits)],
+                }
             )
-            .groupBy("bucket")
-            .agg(F.collect_list("seen_key").alias("keys"))
-            .collect()
+
+        keyed = seen.select(
+            F.pmod(F.col("seen_key"), F.lit(self.n_buckets)).cast("long").alias("bucket"),
+            "seen_key",
         )
-        self._blooms = {
-            r["bucket"]: _bloom_build(np.array(r["keys"], dtype=np.int64), m_bits)
-            for r in rows
-        }
-        self._m_bits = m_bits
+        return keyed.groupBy("bucket").applyInPandas(build, BLOOM_TABLE_SCHEMA)
+
+    def set_blooms(self, blooms: DataFrame) -> None:
+        """Install a bloom table (fresh from :meth:`bloom_table` or re-read
+        from a snapshot). Collects to a broadcast dict only when the total
+        filter payload fits under ``driver_gate_bytes``; otherwise keeps the
+        DataFrame and probes via cogroup (fully distributed)."""
+        blooms = blooms.persist()
+        total = blooms.agg(F.sum(F.length("bloom")).alias("b")).first()["b"] or 0
+        if total <= self.driver_gate_bytes:
+            rows = blooms.collect()
+            self._blooms = {
+                int(r["bucket"]): (bytes(r["bloom"]), int(r["m_bits"])) for r in rows
+            }
+            self._blooms_df = None
+            blooms.unpersist()
+        else:
+            self._blooms_df = blooms
+            self._blooms = None
+
+    def build_blooms(self, seen: DataFrame) -> None:
+        """Build + install blooms for ``seen`` (distributed build always)."""
+        self.set_blooms(self.bloom_table(seen))
+
+    # -- probing -----------------------------------------------------------
+
+    def _probe(self, candidates: DataFrame) -> DataFrame:
+        """candidates(…, seen_key) → same rows + boolean ``maybe_seen``."""
+        import pandas as pd
+
+        probed_schema = T.StructType(
+            list(candidates.schema.fields)
+            + [T.StructField("maybe_seen", T.BooleanType())]
+        )
+
+        if self._blooms is not None:
+            blooms = self.spark.sparkContext.broadcast(
+                (self._blooms, self.n_buckets)
+            )
+
+            def probe(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+                bl, n_buckets = blooms.value
+                for b in batches:
+                    keys = b["seen_key"].to_numpy(dtype=np.int64)
+                    buckets = (keys.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+                    maybe = np.zeros(len(b), dtype=bool)
+                    for bucket in np.unique(buckets):
+                        entry = bl.get(int(bucket))
+                        mask = buckets == bucket
+                        if entry is None:
+                            continue  # empty bucket → all definitely new
+                        bloom, m_bits = entry
+                        maybe[mask] = _bloom_probe(
+                            keys[mask].astype(np.uint64), bloom, m_bits
+                        )
+                    out = b.copy()
+                    out["maybe_seen"] = maybe
+                    yield out
+
+            return candidates.mapInPandas(probe, schema=probed_schema)
+
+        # distributed probe: shuffle candidates to their bucket's bloom task
+        cand_b = candidates.withColumn(
+            "__bucket", F.pmod(F.col("seen_key"), F.lit(self.n_buckets)).cast("long")
+        )
+
+        def probe_cogroup(cand_pdf: "pd.DataFrame", bloom_pdf: "pd.DataFrame") -> "pd.DataFrame":
+            out = cand_pdf.drop(columns=["__bucket"])
+            if len(out) == 0:
+                out = out.copy()
+                out["maybe_seen"] = np.zeros(0, dtype=bool)
+                return out
+            if len(bloom_pdf) == 0:
+                maybe = np.zeros(len(out), dtype=bool)
+            else:
+                bloom = bytes(bloom_pdf["bloom"].iloc[0])
+                m_bits = int(bloom_pdf["m_bits"].iloc[0])
+                maybe = _bloom_probe(
+                    out["seen_key"].to_numpy(dtype=np.int64).astype(np.uint64),
+                    bloom,
+                    m_bits,
+                )
+            out = out.copy()
+            out["maybe_seen"] = maybe
+            return out
+
+        return (
+            cand_b.groupBy("__bucket")
+            .cogroup(self._blooms_df.groupBy("bucket"))
+            .applyInPandas(probe_cogroup, probed_schema)
+        )
 
     # -- the anti-join -----------------------------------------------------
 
     def filter_unseen(self, candidates: DataFrame, seen: DataFrame) -> DataFrame:
-        """candidates(…, seen_key) → rows whose key is NOT in ``seen``.
+        """candidates(…, seen_key, scope, canonical_url) → rows NOT in ``seen``.
 
-        Bloom-prefilter (when built) splits candidates into definite-new
+        Bloom-prefilter (when installed) splits candidates into definite-new
         (pass through, no shuffle) and maybe-seen (exact left_anti join).
-        Without blooms, falls back to the plain exact anti-join.
+        The exact join keys on the REAL columns ``(scope, canonical_url)``
+        — ``seen_key`` is only the bloom/bucket key, so a 64-bit collision
+        costs one wasted exact probe, never a dropped URL.
         """
-        if not self._blooms:
-            return candidates.join(
-                seen.select("seen_key").distinct(), "seen_key", "left_anti"
+        missing = [c for c in EXACT_KEYS if c not in candidates.columns]
+        if missing:
+            raise ValueError(
+                f"candidates must carry {EXACT_KEYS} for the exact anti-join; "
+                f"missing {missing} (seen_key alone is collision-unsafe)"
             )
+        seen_sel = seen.select(*EXACT_KEYS).distinct()
+        if self._blooms is None and self._blooms_df is None:
+            return candidates.join(seen_sel, EXACT_KEYS, "left_anti")
 
-        import pandas as pd
-
-        blooms = self.spark.sparkContext.broadcast((self._blooms, self._m_bits, self.n_buckets))
-
-        def probe(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-            bl, m_bits, n_buckets = blooms.value
-            for b in batches:
-                keys = b["seen_key"].to_numpy(dtype=np.int64)
-                buckets = (keys.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
-                maybe = np.zeros(len(b), dtype=bool)
-                for bucket in np.unique(buckets):
-                    bloom = bl.get(int(bucket))
-                    mask = buckets == bucket
-                    if bloom is None:
-                        continue  # empty bucket → all definitely new
-                    maybe[mask] = _bloom_probe(
-                        keys[mask].astype(np.uint64), bloom, m_bits
-                    )
-                out = b.copy()
-                out["maybe_seen"] = maybe
-                yield out
-
-        from pyspark.sql import types as T
-
-        # never mutate df.schema (it's cached on the DataFrame) — build fresh
-        probed_schema = T.StructType(
-            list(candidates.schema.fields) + [T.StructField("maybe_seen", T.BooleanType())]
-        )
-        probed = candidates.mapInPandas(probe, schema=probed_schema)
+        probed = self._probe(candidates)
         definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
         needs_check = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-        verified_new = needs_check.join(
-            seen.select("seen_key").distinct(), "seen_key", "left_anti"
-        )
+        verified_new = needs_check.join(seen_sel, EXACT_KEYS, "left_anti")
         return definite_new.unionByName(verified_new)

@@ -132,19 +132,30 @@ def run_crawl(
             )
             seen = _empty_seen(spark)
             # global scope G anti-join (no-op on a fresh store, real on reruns)
-            cand = frontier.withColumn(
-                "seen_key", seen_key(F.lit("G"), canonicalize_url(F.col("url")))
+            cand = (
+                frontier.withColumn("canonical_url", canonicalize_url(F.col("url")))
+                .withColumn("scope", F.lit("G"))
+                .withColumn("seen_key", seen_key(F.col("scope"), F.col("canonical_url")))
             )
-            frontier = useen.filter_unseen(cand, seen).drop("seen_key")
+            frontier = useen.filter_unseen(cand, seen).drop(
+                "seen_key", "scope", "canonical_url"
+            )
         else:
             frontier = store.read(round_id - 1, "frontier_next")
             seen = store.read(round_id - 1, "url_seen")
             if cfg.use_bloom:
-                useen.build_blooms(seen)
-                _mark(f"round {round_id} build_blooms")
-            scope = F.col("company_id").cast("string")
-            cand = frontier.withColumn(
-                "seen_key", seen_key(scope, canonicalize_url(F.col("url")))
+                # reuse the blooms committed with the previous snapshot —
+                # built distributed (applyInPandas per bucket); rebuild only
+                # if restoring from an older store without a blooms table
+                if store.has_table(round_id - 1, "blooms"):
+                    useen.set_blooms(store.read(round_id - 1, "blooms"))
+                else:
+                    useen.build_blooms(seen)
+                _mark(f"round {round_id} load/build blooms")
+            cand = (
+                frontier.withColumn("canonical_url", canonicalize_url(F.col("url")))
+                .withColumn("scope", F.col("company_id").cast("string"))
+                .withColumn("seen_key", seen_key(F.col("scope"), F.col("canonical_url")))
             )
             # within-round first-occurrence dedup (the sequential seen.Add)
             w = Window.partitionBy("company_id", "url").orderBy("priority", "seq")
@@ -153,7 +164,9 @@ def run_crawl(
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
-            frontier = useen.filter_unseen(cand, seen).drop("seen_key")
+            frontier = useen.filter_unseen(cand, seen).drop(
+                "seen_key", "scope", "canonical_url"
+            )
             # extractor gate: non-empty ∧ F2 (Crawler.fs:241)
             frontier = frontier.filter(
                 (F.col("url") != "") & is_not_image_script_css_ext(F.col("url"))
@@ -258,17 +271,18 @@ def run_crawl(
             counters = {}
 
         _mark(f"round {round_id} pre-commit")
-        store.commit(
-            round_id,
-            {
-                "trace": trace,
-                "bag": result["bag"],
-                "flags": result["flags"],
-                "frontier_next": result["frontier_next"],
-                "url_seen": url_seen,
-            },
-            counters=counters,
-        )
+        tables = {
+            "trace": trace,
+            "bag": result["bag"],
+            "flags": result["flags"],
+            "frontier_next": result["frontier_next"],
+            "url_seen": url_seen,
+        }
+        if cfg.use_bloom and round_id + 1 < cfg.max_depth:
+            # persist next round's blooms with the snapshot (distributed
+            # applyInPandas build — seen keys never reach the driver)
+            tables["blooms"] = useen.bloom_table(url_seen)
+        store.commit(round_id, tables, counters=counters)
 
     _mark("rounds done")
     out = finalize(spark, store, cfg)

@@ -22,7 +22,12 @@ MULTIPLE_EMAIL_RE = re.compile(r"\w+([-+.]\w+)*@\w+([-.]\w+)*\.\w+([-.]\w+)*")
 # Crawler.fs:76 — href value matcher; the match VALUE includes the leading
 # `href=` and the trailing terminator run, stripped below with .NET char-set
 # trims (quirk: unquoted http hrefs get their leading 'h' runs eaten too).
-HREF_RE = re.compile(r"(?:href)=[\"|']?(.*?)[\"|'|>]+", re.IGNORECASE | re.DOTALL)
+# NOTE no flags: the reference instantiates ``EmailRegex()`` with
+# RegexOptions.None (Crawler.fs:126,156) — case-SENSITIVE (`HREF=` does not
+# match) and non-Singleline (`.` stops at newlines, so a newline-broken href
+# value never completes a match). Only the anchor regex below carries
+# IgnoreCase|Singleline (Crawler.fs:54-57).
+HREF_RE = re.compile(r"(?:href)=[\"|']?(.*?)[\"|'|>]+")
 
 # Crawler.fs:55-58 — anchor (url, name) pairs; group 1 = url, group 2 = name.
 ANCHOR_RE = re.compile(

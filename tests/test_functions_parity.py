@@ -185,6 +185,50 @@ class TestCanonicalization:
         assert vals[0] == vals[1]
 
 
+class TestHrefRegexCaseSensitivity:
+    """Crawler.fs:76,126,156 — ``EmailRegex()`` (the href matcher) is
+    instantiated with RegexOptions.None: case-SENSITIVE and non-Singleline.
+    Only the anchor regex (Crawler.fs:54-57) has IgnoreCase|Singleline.
+    Locks the ADVICE-r01 high finding."""
+
+    HTML = (
+        '<a href="http://f.com/contact.html">ok</a>'
+        '<A HREF="http://f.com/upper.html">upper</A>'
+        '<a href="http://f.com/bro\nken.html">nl</a>'
+        '<a HREF="mailto:SHOUT@F.COM">m</a>'
+    )
+
+    def test_refsem_href_values(self):
+        vals = RE_._href_match_values(self.HTML)
+        # uppercase HREF= and the newline-broken value must NOT match
+        assert "http://f.com/contact.html" in vals
+        assert all("upper" not in v for v in vals)
+        assert all("\n" not in v and "broken" not in v and "bro" not in v for v in vals)
+
+    def test_refsem_mailto_skips_upper_href(self):
+        assert RE_.search_mailto_results(self.HTML) == []
+        lower = self.HTML.replace('HREF="mailto:', 'href="mailto:')
+        assert RE_.search_mailto_results(lower) == ["shout@f.com"]
+
+    def test_anchor_regex_still_insensitive_multiline(self):
+        anchors = RE_.ANCHOR_RE.findall(self.HTML)
+        urls = [u for u, _ in anchors]
+        assert "http://f.com/upper.html" in urls  # IgnoreCase holds
+        assert "http://f.com/bro\nken.html" in urls  # Singleline holds
+
+    def test_engine_extract_matches_refsem(self, spark):
+        from companycatalogcrawlerparser_spark.operators.extract import (
+            extract_tokens,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "http://f.com", bytearray(self.HTML.encode()))],
+            "company_id long, page_url string, html binary",
+        )
+        row = extract_tokens(df).collect()[0]
+        assert list(row["hrefs"]) == RE_._href_match_values(self.HTML)
+
+
 class TestAdmissionChainParity:
     """admit_frontier (native DataFrame chain) vs refsem.search_href_results."""
 

@@ -36,7 +36,8 @@ class TestBloom:
         fp = _bloom_probe(other.astype(np.uint64), bloom, m_bits).mean()
         assert fp < 0.02, f"false-positive rate too high: {fp}"
 
-    def test_filter_unseen_exactness(self, spark):
+    @staticmethod
+    def _seen_cand(spark):
         seen_urls = [f"http://h{i % 7}.ru/p{i}" for i in range(300)]
         cand_urls = [f"http://h{i % 7}.ru/p{i}" for i in range(150, 450)]
         seen = spark.createDataFrame(
@@ -48,15 +49,66 @@ class TestBloom:
             F.lit(0).alias("round"),
         )
         cand = spark.createDataFrame([(u,) for u in cand_urls], ["url"]).select(
-            "url", seen_key(F.lit("G"), F.col("url")).alias("seen_key")
+            "url",
+            F.col("url").alias("canonical_url"),
+            F.lit("G").alias("scope"),
+            seen_key(F.lit("G"), F.col("url")).alias("seen_key"),
         )
+        expected = set(cand_urls) - set(seen_urls)
+        return seen, cand, expected
+
+    def test_filter_unseen_exactness(self, spark):
+        seen, cand, expected = self._seen_cand(spark)
         us = UrlSeen(spark, n_buckets=16)
         plain = {r["url"] for r in us.filter_unseen(cand, seen).collect()}
         us.build_blooms(seen)
         bloomed = {r["url"] for r in us.filter_unseen(cand, seen).collect()}
-        expected = set(cand_urls) - set(seen_urls)
         assert plain == expected
         assert bloomed == expected, "bloom path must equal exact anti-join"
+
+    def test_filter_unseen_distributed_probe(self, spark):
+        """driver_gate_bytes=0 forces the cogroup (cluster-scale) probe path;
+        result must equal the exact anti-join."""
+        seen, cand, expected = self._seen_cand(spark)
+        us = UrlSeen(spark, n_buckets=16, driver_gate_bytes=0)
+        us.build_blooms(seen)
+        assert us._blooms is None and us._blooms_df is not None
+        got = {r["url"] for r in us.filter_unseen(cand, seen).collect()}
+        assert got == expected
+
+    def test_filter_unseen_requires_exact_columns(self, spark):
+        """seen_key alone is collision-unsafe — the API must refuse it."""
+        seen, cand, _ = self._seen_cand(spark)
+        us = UrlSeen(spark, n_buckets=16)
+        with pytest.raises(ValueError, match="collision"):
+            us.filter_unseen(cand.drop("scope", "canonical_url"), seen)
+
+    def test_bloom_build_plan_has_no_driver_collect(self, spark):
+        """The build must never funnel seen keys through the driver: no
+        collect_list aggregation anywhere in the bloom-table plan
+        (VERDICT r01 'What's wrong #1')."""
+        seen, _, _ = self._seen_cand(spark)
+        us = UrlSeen(spark, n_buckets=16)
+        plan = us.bloom_table(seen)._jdf.queryExecution().executedPlan().toString()
+        assert "collect_list" not in plan
+        assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan
+
+    def test_exact_join_survives_seen_key_collision(self, spark):
+        """Two distinct (scope, canonical_url) pairs forced onto the SAME
+        seen_key: the candidate must still come through (ADVICE r01 medium)."""
+        seen = spark.createDataFrame(
+            [(12345, "G", "http://a.ru/x", 0)],
+            "seen_key long, scope string, canonical_url string, round int",
+        )
+        # candidate with a COLLIDING key but a different url — never seen
+        cand = spark.createDataFrame(
+            [("http://b.ru/y", "http://b.ru/y", "G", 12345)],
+            "url string, canonical_url string, scope string, seen_key long",
+        )
+        us = UrlSeen(spark, n_buckets=16)
+        assert us.filter_unseen(cand, seen).count() == 1
+        us.build_blooms(seen)
+        assert us.filter_unseen(cand, seen).count() == 1
 
 
 class TestDedup:
