@@ -967,9 +967,13 @@ banded AS (
   SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS key FROM sig
   UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig
   UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig
-  UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sig)
+  UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sig),
+-- skew cap: buckets above 256 members are excluded from pair generation
+-- (same contract as the Spark operator's max_bucket)
+ok AS (SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 256),
+capped AS (SELECT banded.* FROM banded JOIN ok USING (band, key))
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM banded a JOIN banded b
+FROM capped a JOIN capped b
   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 """,
         "ngram_jaccard": f"""

@@ -58,13 +58,18 @@ def is_contacts_page(x: Column) -> Column:
 
 
 def is_end_with_digits(x: Column) -> Column:
-    """F5 with quirk Q3 — char-set trims of '/', '.html', '.htm'."""
+    """F5 with quirk Q3 — char-set trims of '/', '.html', '.htm'.
+
+    Digit class is Unicode Nd (``\\p{Nd}``), matching .NET ``Char.IsDigit``
+    and the refsem oracle's ``net_is_digit`` — ASCII ``[0-9]`` would admit
+    URLs whose tail ends in e.g. Arabic-Indic digits that the reference
+    rejects (ADVICE r01)."""
     s = F.rtrim(F.rtrim(F.rtrim(x, F.lit("/")), F.lit(".html")), F.lit(".htm"))
     has_inner_slash = s.rlike(".+/")
     seg = F.substring_index(s, "/", -1)
     return (
-        F.when(has_inner_slash & (seg != ""), seg.rlike(r"^[0-9]+$"))
-        .otherwise(F.substring(s, -1, 1).rlike(r"^[0-9]$"))
+        F.when(has_inner_slash & (seg != ""), seg.rlike(r"^\p{Nd}+$"))
+        .otherwise(F.substring(s, -1, 1).rlike(r"^\p{Nd}$"))
     )
 
 

@@ -68,11 +68,10 @@ def minhash_signature(
     return ex.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    k: int = 5, num_hashes: int = 12, bands: int = 4,
+def _lsh_banded(
+    df: DataFrame, id_col: str, text_col: str, k: int, num_hashes: int, bands: int
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) that collide in ≥1 LSH band."""
+    """(id, band, key) rows — one per (doc, band)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, id_col, text_col, k, num_hashes)
@@ -83,12 +82,37 @@ def minhash_lsh_pairs(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.concat_ws("|", *parts).alias("key"))
         )
-    banded = sig.select(
+    return sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    a = banded.alias("a")
-    b = banded.alias("b")
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 5, num_hashes: int = 12, bands: int = 4, max_bucket: int = 256,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) that collide in ≥1 LSH band.
+
+    Skew guard: a band bucket shared by D docs emits D·(D-1)/2 pairs inside
+    ONE join task, so a single hot bucket of near-identical docs goes
+    quadratic (the round-1 bench's dominant cost). Buckets larger than
+    ``max_bucket`` are excluded from pair generation — they are de-facto
+    exact-dup clusters that :func:`exact_dedup` should collapse first. The
+    cap is part of the operator contract (the DuckDB oracle twin applies
+    the same predicate) and the skipped volume stays observable via
+    :func:`lsh_oversized_buckets` — nothing is silently dropped.
+    """
+    banded = _lsh_banded(df, id_col, text_col, k, num_hashes, bands)
+    ok = (
+        banded.groupBy("band", "key")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") <= max_bucket)
+        .select("band", "key")
+    )
+    capped = banded.join(ok, ["band", "key"], "left_semi")
+
+    a = capped.alias("a")
+    b = capped.alias("b")
     pairs = (
         a.join(
             b,
@@ -102,6 +126,20 @@ def minhash_lsh_pairs(
         .distinct()
     )
     return pairs
+
+
+def lsh_oversized_buckets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 5, num_hashes: int = 12, bands: int = 4, max_bucket: int = 256,
+) -> DataFrame:
+    """(band, key, n_docs) of buckets :func:`minhash_lsh_pairs` skipped —
+    the audit surface for the skew cap (no silent truncation)."""
+    banded = _lsh_banded(df, id_col, text_col, k, num_hashes, bands)
+    return (
+        banded.groupBy("band", "key")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
+    )
 
 
 def ngram_jaccard_pairs(
@@ -144,22 +182,41 @@ def ngram_jaccard_pairs(
 
 def simhash16(text) -> "F.Column":
     """16-char {0,1} signature: bit j = majority over tokens of the top bit
-    of hex digit j of md5(token). Portable to ANSI SQL (see oracle twin)."""
+    of hex digit j of md5(token). Portable to ANSI SQL (see oracle twin).
+
+    md5 is computed ONCE per token (hoisted into a transform) and all 16
+    digit-sums accumulate in a single array pass with a struct accumulator
+    — the original per-bit formulation hashed every token 16×."""
     tokens = F.array_distinct(F.split(normalized(text), " "))
-    digits = "0123456789abcdef"
-    bit_exprs = []
-    for j in range(1, 17):
-        # +1 when md5(token)[j] in 8..f else -1; majority > 0 → '1'
-        s = F.aggregate(
-            tokens,
-            F.lit(0),
-            lambda acc, t: acc
-            + F.when(
-                F.substring(F.md5(t), j, 1).isin(*list("89abcdef")), F.lit(1)
-            ).otherwise(F.lit(-1)),
+    hashes = F.transform(tokens, lambda t: F.md5(t))
+    hexhi = list("89abcdef")
+
+    def step(acc, h):
+        return F.struct(
+            *[
+                (
+                    acc[f"s{j}"]
+                    + F.when(
+                        F.substring(h, j + 1, 1).isin(*hexhi), F.lit(1)
+                    ).otherwise(F.lit(-1))
+                ).alias(f"s{j}")
+                for j in range(16)
+            ]
         )
-        bit_exprs.append(F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bit_exprs)
+
+    def finish(acc):
+        # inside the aggregate's finish lambda so the whole signature is ONE
+        # expression — extracting fields outside would re-embed (and
+        # re-evaluate) the aggregate 16×
+        return F.concat(
+            *[
+                F.when(acc[f"s{j}"] > 0, F.lit("1")).otherwise(F.lit("0"))
+                for j in range(16)
+            ]
+        )
+
+    zero = F.struct(*[F.lit(0).alias(f"s{j}") for j in range(16)])
+    return F.aggregate(hashes, zero, step, finish)
 
 
 def simhash_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

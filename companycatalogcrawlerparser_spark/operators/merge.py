@@ -37,6 +37,54 @@ def append_blind(existing: DataFrame, new: DataFrame) -> DataFrame:
     return existing.unionByName(new, allowMissingColumns=True)
 
 
+def assign_dense_ids(
+    df: DataFrame,
+    order_col: str,
+    id_col: str,
+    offset: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense ids ``offset+1..offset+n`` ordered by ``order_col`` — the
+    semantics of ``row_number() OVER (ORDER BY order_col)`` WITHOUT the
+    empty-partition window that funnels every row through one task
+    (VERDICT/ADVICE r01: a scale-killer at the 10^10 design point).
+
+    Three distributed steps: range-partition by the order column (each
+    partition owns a contiguous key range), rank within each partition in
+    parallel, then add per-partition offsets computed from the tiny
+    (n_partitions-row) count vector collected to the driver — a control
+    aggregate, not data. The ids are identical to the global window's for
+    any partitioning, so determinism survives recomputation; the persist
+    pins the sampled range boundaries between the count pass and the rank
+    pass. ``order_col`` values must be unique (callers pass a distinct
+    key column)."""
+    from pyspark.storagelevel import StorageLevel
+
+    spark = df.sparkSession
+    n_part = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(n_part, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {
+        int(r["__pid"]): r["n"]
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+    }
+    acc = offset
+    offsets = []
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    offsets_df = spark.createDataFrame(offsets, "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    return (
+        ranged.join(F.broadcast(offsets_df), "__pid")
+        .withColumn(id_col, (F.row_number().over(w) + F.col("__off")).cast("long"))
+        .drop("__pid", "__off")
+    )
+
+
 def upsert_emails(
     existing_emails: DataFrame,
     existing_junction: DataFrame,
@@ -47,17 +95,17 @@ def upsert_emails(
     ``MERGE INTO emails ON email WHEN NOT MATCHED INSERT`` then
     ``MERGE INTO company_email ON (company_id, email_id) WHEN NOT MATCHED
     INSERT``. email_id for fresh emails continues the dense id space
-    deterministically (ordered by email text)."""
+    deterministically (ordered by email text), assigned distributed via
+    :func:`assign_dense_ids`."""
     max_id = existing_emails.agg(F.coalesce(F.max("email_id"), F.lit(0))).first()[0]
-    fresh = (
+    fresh_base = (
         new_pairs.select("email")
         .distinct()
         .join(existing_emails.select("email"), "email", "left_anti")
-        .withColumn(
-            "email_id", F.row_number().over(Window.orderBy("email")) + F.lit(max_id)
-        )
-        .withColumn("bad_ignore_email", F.lit(False))
     )
+    fresh = assign_dense_ids(
+        fresh_base, "email", "email_id", offset=int(max_id)
+    ).withColumn("bad_ignore_email", F.lit(False))
     emails = existing_emails.unionByName(fresh)
     links = (
         new_pairs.join(emails.select("email", "email_id"), "email")

@@ -409,13 +409,14 @@ def finalize(spark: SparkSession, store: SnapshotStore, cfg: CrawlConfig) -> dic
     url_seen = store.read(rounds[-1], "url_seen")
 
     filtered = finalize_emails(bag)  # F10
-    # K5: global email dedup — deterministic surrogate ids by email text
-    emails_dim = (
-        filtered.select("email")
-        .distinct()
-        .withColumn("email_id", F.row_number().over(Window.orderBy("email")))
-        .withColumn("bad_ignore_email", F.lit(False))
-    )
+    # K5: global email dedup — deterministic surrogate ids by email text,
+    # assigned distributed (range-partition + local rank + offsets); a
+    # global Window.orderBy here would single-task ALL distinct emails
+    from ..operators.merge import assign_dense_ids
+
+    emails_dim = assign_dense_ids(
+        filtered.select("email").distinct(), "email", "email_id"
+    ).withColumn("bad_ignore_email", F.lit(False))
     junction = (
         filtered.join(emails_dim, "email")
         .select("company_id", "email_id")

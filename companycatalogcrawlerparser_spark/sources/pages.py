@@ -43,13 +43,34 @@ def _redirect_admissible(url, status, loc):
     )
 
 
+def _remove_dot_segments(path):
+    """RFC 3986 §5.2.4 dot-segment removal as a bounded regexp_replace
+    fold (the reference resolves via ``new Uri(base, rel)``, which
+    normalizes dot segments — ``Crawler.fs:223``). Handles nesting up to
+    10 levels of ``seg/../`` — beyond any real redirect Location; the
+    driver-side closure uses exact ``urljoin`` regardless."""
+    p = path
+    for _ in range(2):
+        p = F.regexp_replace(p, r"/\.(?=/)", "")   # "/./" → "/"
+    p = F.regexp_replace(p, r"/\.$", "/")          # trailing "/."
+    for _ in range(10):
+        p = F.regexp_replace(p, r"/(?!\.\.(?:/|$))[^/]+/\.\.(?=/|$)", "")
+    p = F.regexp_replace(p, r"^(/\.\.)+(?=/|$)", "")  # above-root ".." dropped
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
 def _resolve_location(url, loc):
     """Relative location → absolute against scheme://authority of ``url``
-    (``Crawler.fs:223``)."""
+    (``Crawler.fs:223``: ``new Uri(new Uri(authority), relative)`` — full
+    RFC 3986 resolution incl. dot segments; mirrored by the refsem
+    oracle's ``urljoin``)."""
+    scheme = F.regexp_extract(url, r"^(https?):", 1)
+    rel_path = F.when(loc.startswith("/"), loc).otherwise(F.concat(F.lit("/"), loc))
     return (
         F.when(loc.startswith("http://") | loc.startswith("https://"), loc)
-        .when(loc.startswith("/"), F.concat(base_url_expr(url), loc))
-        .otherwise(F.concat(base_url_expr(url), F.lit("/"), loc))
+        # network-path reference "//host/path" → inherit the scheme
+        .when(loc.startswith("//"), F.concat(scheme, F.lit(":"), loc))
+        .otherwise(F.concat(base_url_expr(url), _remove_dot_segments(rel_path)))
     )
 
 
@@ -65,6 +86,8 @@ def _resolve_chains_py(rows):
     """Driver-side closure over collected (url, status, loc) redirect rows.
     Same F11 semantics as the Column-expression path (see
     ``_redirect_admissible`` / ``_resolve_location``)."""
+    from urllib.parse import urljoin
+
     from ..refsem.strings import get_base_url
 
     by_url = {r[0]: (r[1], r[2]) for r in rows}
@@ -90,8 +113,9 @@ def _resolve_chains_py(rows):
                 err = f"http_{status}"
                 break
             if not (loc.startswith("http://") or loc.startswith("https://")):
-                base = get_base_url(cur)
-                loc = base + loc if loc.startswith("/") else base + "/" + loc
+                # RFC 3986 resolution against scheme://authority — same as
+                # the reference's new Uri(base, rel) and the refsem oracle
+                loc = urljoin(get_base_url(cur) + "/", loc)
             if loc in visited:
                 err = "redirect_cycle"
                 break

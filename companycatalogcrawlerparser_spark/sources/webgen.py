@@ -166,7 +166,12 @@ def generate_company_pages(i: int, filler_kb: int = 0) -> Tuple[List[dict], dict
 
     if variant == 4:
         real = home + "/index-real.html"
-        pages.append({"url": home, "status": 301, "location": real, "html": None, "lang": lang})
+        # two thirds redirect via a RELATIVE Location (incl. dot segments) —
+        # the reference resolves with new Uri(base, rel) (RFC 3986), so
+        # "../index-real.html" from the homepage lands on `real`
+        relkind = det(i, "relredir") % 3
+        loc = [real, "../index-real.html", "./index-real.html"][relkind]
+        pages.append({"url": home, "status": 301, "location": loc, "html": None, "lang": lang})
         pages.append({"url": real, "status": 200, "location": None, "html": home_html, "lang": lang})
     elif variant == 5:
         pass  # dead seed: no row at all

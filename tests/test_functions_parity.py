@@ -45,6 +45,9 @@ ADVERSARIAL_URLS = [
     "relative.html",
     "http://a.com/a//",
     "http://a.com/shop/page-2/",
+    "http://a.com/page/١٢٣/",  # Arabic-Indic digits (Nd) — .NET IsDigit
+    "http://a.com/tail٧",                # Arabic-Indic digit tail
+    "http://a.com/x①",                   # ① circled digit (No, NOT Nd)
 ]
 
 EMAILS = [

@@ -111,6 +111,50 @@ class TestBloom:
         assert us.filter_unseen(cand, seen).count() == 1
 
 
+class TestAssignDenseIds:
+    """Distributed replacement for row_number() OVER (ORDER BY …) — the
+    global-window email-id bottleneck (VERDICT r01 #4 / ADVICE r01)."""
+
+    def test_ids_match_global_window(self, spark):
+        from pyspark.sql import Window
+
+        from companycatalogcrawlerparser_spark.operators.merge import (
+            assign_dense_ids,
+        )
+
+        vals = [f"user{i:04d}@host{i % 13}.ru" for i in range(997)]
+        df = spark.createDataFrame([(v,) for v in vals], ["email"])
+        got = {
+            r["email"]: r["email_id"]
+            for r in assign_dense_ids(df, "email", "email_id", offset=5).collect()
+        }
+        expected = {
+            r["email"]: r["rn"] + 5
+            for r in df.withColumn(
+                "rn", F.row_number().over(Window.orderBy("email"))
+            ).collect()
+        }
+        assert got == expected
+        # stability: recompute → identical ids
+        got2 = {
+            r["email"]: r["email_id"]
+            for r in assign_dense_ids(df, "email", "email_id", offset=5).collect()
+        }
+        assert got2 == got
+
+    def test_no_single_partition_exchange(self, spark):
+        from companycatalogcrawlerparser_spark.operators.merge import (
+            assign_dense_ids,
+        )
+
+        df = spark.range(0, 5000).select(
+            F.concat(F.lit("e"), F.col("id")).alias("email")
+        )
+        out = assign_dense_ids(df, "email", "email_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, plan
+
+
 class TestDedup:
     DOCS = [
         (1, "Foo bar baz qux quux corge grault."),
@@ -137,6 +181,32 @@ class TestDedup:
         assert (1, 2) in pairs
         assert (3, 4) in pairs
         assert (1, 5) not in pairs
+
+    def test_lsh_skew_guard_caps_hot_bucket(self, spark):
+        """1,000 near-identical docs share every band bucket — without the
+        cap that's ~500k pairs in one task (quadratic). With max_bucket the
+        hot bucket is skipped, normal near-dup pairs survive, and the
+        skipped volume is visible via lsh_oversized_buckets."""
+        clones = [(i, "identical clone text for the hot bucket") for i in range(1000)]
+        normals = self.DOCS[:4]  # ids 1..4 overlap clones' ids — shift them
+        normals = [(10_000 + i, t) for i, t in normals]
+        df = spark.createDataFrame(clones + normals, ["doc_id", "text"])
+        pairs = D.minhash_lsh_pairs(df, num_hashes=8, bands=4, max_bucket=256)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        # no pair of two clones (hot bucket excluded)
+        assert not any(a < 1000 and b < 1000 for a, b in got)
+        # near-dup pairs among normal docs still found
+        assert (10_001, 10_002) in got
+        over = D.lsh_oversized_buckets(df, num_hashes=8, bands=4, max_bucket=256)
+        rows = over.collect()
+        assert rows and all(r["n_docs"] == 1000 for r in rows)
+
+    def test_simhash_plan_hashes_each_token_once(self, spark):
+        """The md5 hoist (VERDICT r01 #9): exactly one md5 call in the
+        simhash expression tree, not one per hex digit."""
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        plan = df.select(D.simhash16(F.col("text")).alias("sh"))._jdf.queryExecution().analyzed().toString()
+        assert plan.count("md5") == 1, plan
 
     def test_ngram_jaccard_scores(self, spark):
         out = {

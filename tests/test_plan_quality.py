@@ -59,6 +59,53 @@ class TestPushdownAndPruning:
         assert rm.columns == ["src_url", "resolved_url", "resolve_error", "hops"]
 
 
+class TestRedirectResolution:
+    """RFC 3986 Location resolution (reference: ``new Uri(base, rel)``,
+    Crawler.fs:223) — driver closure and distributed closure must agree,
+    including dot-segment and network-path Locations (ADVICE r01)."""
+
+    ROWS = [
+        # (url, status, redirect_to)
+        ("http://a.ru/dir/page", 301, "../contact", None),
+        ("http://a.ru/contact", 200, None, b"<html>c</html>"),
+        ("http://b.ru/x", 302, "./y.html", None),
+        ("http://b.ru/y.html", 200, None, b"<html>y</html>"),
+        ("http://c.ru/p", 301, "a/b/../../z", None),
+        ("http://c.ru/z", 200, None, b"<html>z</html>"),
+        ("http://d.ru/p", 301, "//e.ru/q", None),
+        ("http://e.ru/q", 200, None, b"<html>q</html>"),
+        ("http://f.ru/p", 302, "http://f.ru/p2", None),
+        ("http://f.ru/p2", 302, "http://f.ru/p", None),  # cycle
+    ]
+    SCHEMA = "url string, status int, redirect_to string, html binary"
+
+    EXPECTED = {
+        "http://a.ru/dir/page": ("http://a.ru/contact", None),
+        "http://b.ru/x": ("http://b.ru/y.html", None),
+        "http://c.ru/p": ("http://c.ru/z", None),
+        "http://d.ru/p": ("http://e.ru/q", None),
+        "http://f.ru/p": ("http://f.ru/p", "redirect_cycle"),
+        "http://f.ru/p2": ("http://f.ru/p2", "redirect_cycle"),
+    }
+
+    def _check(self, rm_rows):
+        got = {r["src_url"]: (r["resolved_url"], r["resolve_error"]) for r in rm_rows}
+        assert got == self.EXPECTED
+
+    def test_driver_closure_urljoin(self, spark):
+        from companycatalogcrawlerparser_spark.sources.pages import redirect_map
+
+        pages = spark.createDataFrame(self.ROWS, self.SCHEMA)
+        self._check(redirect_map(pages).collect())
+
+    def test_distributed_closure_equals_driver(self, spark, monkeypatch):
+        from companycatalogcrawlerparser_spark.sources import pages as PG
+
+        monkeypatch.setattr(PG, "DRIVER_CLOSURE_MAX_ROWS", -1)
+        pages = spark.createDataFrame(self.ROWS, self.SCHEMA)
+        self._check(PG.redirect_map(pages).collect())
+
+
 class TestJoinStrategies:
     def test_dim_join_broadcasts(self, spark):
         big = spark.range(0, 100000).withColumn("key", F.col("id") % 100)
