@@ -145,3 +145,16 @@ def convert_url(x: Column, base: Column) -> Column:
     return F.when(
         resolved.startswith("//"), F.replace(resolved, F.lit("//"), F.lit("http://"))
     ).otherwise(resolved)
+
+
+def translit_cyrillic_to_latin(col: Column) -> Column:
+    """X6 ``translitCyrillicToLatin`` (``Utils.fs:51-66``) as a chained
+    ``replace`` — safe because every source char is Cyrillic (or '-'/' ')
+    and every output is ASCII, so replacements cannot cascade. Same 68-pair
+    map as the refsem oracle."""
+    from ..refsem.strings import _TRANSLIT
+
+    expr = col
+    for src, dst in _TRANSLIT.items():
+        expr = F.replace(expr, F.lit(src), F.lit(dst))
+    return expr

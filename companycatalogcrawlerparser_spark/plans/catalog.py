@@ -145,6 +145,156 @@ def listing_urls(
     )
 
 
+CITY_SCHEMA = "page_url string, seq int, name string, subordination string, code string, region string"
+COUNTRY_SCHEMA = (
+    "page_url string, country_id long, name string, fname string, "
+    "capital string, phone string, domain string, region string"
+)
+REGION_SCHEMA = "page_url string, code string, name string"
+RUS_CITY_SCHEMA = "page_url string, name string, subordination string, code string, region string"
+
+
+def _h7_extract(pages: DataFrame, fn_name: str, schema: str, columns) -> DataFrame:
+    """Shared H7 UDTF lift: run one refsem dimension scrape per page."""
+    import pandas as pd
+
+    def run(batches):
+        from ..refsem import htmlparse as H
+
+        fn = getattr(H, fn_name)
+        for b in batches:
+            rows = []
+            for url, html in zip(b["url"], b["html"]):
+                if html is None:
+                    continue
+                doc = H.parse_html(bytes(html).decode("utf-8", errors="replace"))
+                for i, rec in enumerate(fn(doc)):
+                    if fn_name == "get_cities":
+                        rows.append((url, i, *rec))
+                    else:
+                        rows.append((url, *rec))
+            yield pd.DataFrame(rows, columns=columns)
+
+    return pages.select("url", "html").mapInPandas(run, schema=schema)
+
+
+def extract_cities(pages: DataFrame) -> DataFrame:
+    """H7 ``getCities`` lift — (page_url, seq, name, subordination, code,
+    region); ``seq`` is document order, needed for the reference's
+    skip(1)/take(n-2) slice (Program.fs:394)."""
+    return _h7_extract(
+        pages, "get_cities", CITY_SCHEMA,
+        ["page_url", "seq", "name", "subordination", "code", "region"],
+    )
+
+
+def extract_country_list(pages: DataFrame) -> DataFrame:
+    """H7 ``getCountryList`` lift."""
+    return _h7_extract(
+        pages, "get_country_list", COUNTRY_SCHEMA,
+        ["page_url", "country_id", "name", "fname", "capital", "phone", "domain", "region"],
+    )
+
+
+def extract_russian_regions(pages: DataFrame) -> DataFrame:
+    """H7 ``getRussionRegionList`` lift."""
+    return _h7_extract(
+        pages, "get_russian_region_list", REGION_SCHEMA,
+        ["page_url", "code", "name"],
+    )
+
+
+def extract_russian_cities(pages: DataFrame) -> DataFrame:
+    """H7 ``getRussionCitiesList`` lift."""
+    return _h7_extract(
+        pages, "get_russian_cities_list", RUS_CITY_SCHEMA,
+        ["page_url", "name", "subordination", "code", "region"],
+    )
+
+
+# Program.fs:346-389 — the hardcoded jsprav city seed list (U2 static side)
+CITY_SEEDS_STATIC = [
+    ("https://ekaterinburg.jsprav.ru", "66"), ("https://kazan.jsprav.ru", "16"),
+    ("https://omsk.jsprav.ru", "55"), ("https://chelyabinsk.jsprav.ru", "74"),
+    ("https://samara.jsprav.ru", "55"), ("https://ufa.jsprav.ru", "02"),
+    ("https://krasnoyarsk.jsprav.ru", "24"), ("https://voronezh.jsprav.ru", "36"),
+    ("https://volgograd.jsprav.ru", "59"), ("https://krasnodar.jsprav.ru", "23"),
+    ("https://saratov.jsprav.ru", "64"), ("https://tyumen.jsprav.ru", "72"),
+    ("https://tolyatti.jsprav.ru", "63"), ("https://izhevsk.jsprav.ru", "18"),
+    ("https://barnaul.jsprav.ru", "22"), ("https://ulyanovsk.jsprav.ru", "73"),
+    ("https://irkutsk.jsprav.ru", "38"), ("https://habarovsk.jsprav.ru", "27"),
+    ("https://yaroslavl.jsprav.ru", "76"), ("https://vladivostok.jsprav.ru", "25"),
+    ("https://mahachkala.jsprav.ru", "05"), ("https://tomsk.jsprav.ru", "70"),
+    ("https://orenburg.jsprav.ru", "56"), ("https://kemerovo.jsprav.ru", "42"),
+    ("https://ryazan.jsprav.ru", "62"), ("https://astrahan.jsprav.ru", "30"),
+    ("https://penza.jsprav.ru", "58"), ("https://kirov.jsprav.ru", "43"),
+    ("https://lipetsk.jsprav.ru", "48"), ("https://balashiha.jsprav.ru", "50"),
+    ("https://kaliningrad.jsprav.ru", "39"), ("https://tula.jsprav.ru", "71"),
+    ("https://kursk.jsprav.ru", "46"), ("https://sochi.jsprav.ru", "23"),
+    ("https://stavropol.jsprav.ru", "26"), ("https://ulan-ude.jsprav.ru", "03"),
+    ("https://tver.jsprav.ru", "69"), ("https://magnitogorsk.jsprav.ru", "74"),
+    ("https://ivanovo.jsprav.ru", "37"), ("https://kamensk-uralskij.jsprav.ru", "66"),
+    ("https://blagoveschensk.jsprav.ru", "28"),
+]
+
+
+def synthesize_city_seeds(
+    cities: DataFrame,
+    city_dim: DataFrame,
+    pages: DataFrame,
+    static_seeds: DataFrame | None = None,
+    table_code: str = "6",
+) -> DataFrame:
+    """U2/J6 — seed-URL synthesis from the H7 city scrape
+    (``Program.fs:345-409``): slice the ``Code='6'`` table's rows
+    (skip 1, take n-2 — header/footer artifacts), transliterate the city
+    name (X6), template ``https://{latin}.jsprav.ru/``, look the city code
+    up in the dimension table (J6, broadcast join — a miss throws in the
+    reference, so it's an INNER join here), keep only reachable URLs
+    ("the corpus is the web": left-semi against the pages table, standing
+    in for the probe fetch), lowercase, and union with the static list.
+    The reference computes an ``Артем``→``Артём`` fixup string but never
+    uses it (both translit and getCity take the original name) — mirrored
+    by NOT special-casing it. Returns (url, city_code)."""
+    from pyspark.sql import Window
+
+    from ..functions.canon import translit_cyrillic_to_latin
+
+    filtered = cities.filter(F.col("code") == table_code)
+    # skip(1) |> take(n-2) over the FILTERED sequence in document order:
+    # rank rows within each source page, drop the first and the last
+    # (header/footer artifacts of the sheet export). The window partitions
+    # by page — tiny per-page cardinality, no global single task.
+    w = Window.partitionBy("page_url").orderBy("seq")
+    sliced = (
+        filtered.withColumn("__r", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(Window.partitionBy("page_url")))
+        .filter((F.col("__r") >= 2) & (F.col("__r") <= F.col("__n") - 1))
+        .drop("__r", "__n")
+    )
+    urls = sliced.select(
+        F.col("name"),
+        F.lower(
+            F.concat(
+                F.lit("https://"),
+                translit_cyrillic_to_latin(F.col("name")),
+                F.lit(".jsprav.ru/"),
+            )
+        ).alias("url"),
+    )
+    joined = urls.join(
+        F.broadcast(city_dim.select("name", F.col("code").alias("city_code"))),
+        "name",
+    )
+    reachable = joined.join(
+        pages.select(F.col("url")), "url", "left_semi"
+    ).select("url", "city_code")
+    if static_seeds is None:
+        spark = cities.sparkSession
+        static_seeds = spark.createDataFrame(CITY_SEEDS_STATIC, "url string, city_code string")
+    return static_seeds.unionByName(reachable)
+
+
 def dedup_companies_by_site(companies: DataFrame) -> DataFrame:
     """A2/W1 — the reference's own ROW_NUMBER dedup
     (``UsefulSQLQuery.sql:33-36``)."""

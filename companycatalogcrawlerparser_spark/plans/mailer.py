@@ -17,6 +17,28 @@ from ..functions.emails import mailer_fixups
 from ..operators.merge import high_water_mark, set_high_water_mark
 
 
+def load_templates(spark, root_dir: str, pattern: str = "*.msg") -> DataFrame:
+    """S7 — recursive ``*.msg`` template enumeration
+    (``DataStructure/Library.fs:49-55`` ``getAllFilesFromDir`` /
+    ``allFiles``; consumed per-file by ``ConsoleAppMailer/Program.fs:52-55``).
+
+    ``binaryFile`` source with ``recursiveFileLookup`` ≙
+    ``Directory.EnumerateFiles(path, "*.msg", AllDirectories)``. Returns
+    (template_name, path, content) — ``template_name`` is the full path,
+    the reference's per-template watermark key (K7 joins on it)."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .option("recursiveFileLookup", "true")
+        .load(root_dir)
+    )
+    return df.select(
+        F.col("path").alias("template_name"),
+        F.col("path"),
+        F.col("content"),
+    )
+
+
 def next_batch(
     emails: DataFrame,
     state: DataFrame,

@@ -433,3 +433,92 @@ def get_page_number(doc: Node, tag: str) -> int:
         if pairs:
             pagen = int(pairs[-1][0])
     return pagen
+
+
+# --------------------------------------------------------------------------
+# H7 — dimension-table scrapes — HtmlParsing.fs:248-264,285-301,303-314,316-329
+
+_CITIES_TABLE_STYLE = (
+    "table-layout:fixed;font-size:10pt;font-family:arial,sans,sans-serif;"
+    "width:0px;border-collapse:collapse;border:none"
+)
+_REGIONS_TABLE_STYLE = (
+    "table-layout:fixed;font-size:13px;font-family:arial,sans,sans-serif;"
+    "border-collapse:collapse;border:none"
+)
+
+
+def get_cities(doc: Node):
+    """``getCities`` — HtmlParsing.fs:248-264: tables with ``dir=ltr`` and
+    the exact fixed-layout style attr; rows styled ``height:21px`` with >2
+    ``td`` DESCENDANTS contribute the third td's InnerText with EVERY
+    ``"г."`` occurrence removed (Replace-all), trimmed. ``code`` = the
+    1-based ordinal of the matching table (a sheet-export artifact the seed
+    synthesis filters on, Program.fs:394). Returns
+    (name, subordination, code, region) tuples."""
+    out = []
+    table_num = 0
+    for x in doc.descendants("table"):
+        if not (x.has_attribute("dir", "ltr") and x.has_attribute("style", _CITIES_TABLE_STYLE)):
+            continue
+        table_num += 1
+        for tr in x.descendants("tr"):
+            if not tr.has_attribute("style", "height:21px"):
+                continue
+            nodes = list(tr.descendants("td"))
+            if len(nodes) > 2:
+                name = nodes[2].inner_text().replace("г.", "").strip()
+                out.append((name, None, str(table_num), None))
+    return out
+
+
+def get_country_list(doc: Node):
+    """``getCountryList`` — HtmlParsing.fs:285-301: ``table.country-list``,
+    skip the header row, td ELEMENTS 1..6 → (country_id=0, name, fname,
+    capital, phone, domain, region). Indexing is unguarded like the
+    reference (a short row raises)."""
+    out = []
+    for x in doc.descendants("table"):
+        if not x.has_class("country-list"):
+            continue
+        trs = list(x.descendants("tr"))[1:]
+        for tr in trs:
+            td = tr.elements("td")
+            out.append(
+                (0, td[1].inner_text(), td[2].inner_text(), td[3].inner_text(),
+                 td[4].inner_text(), td[5].inner_text(), td[6].inner_text())
+            )
+    return out
+
+
+def get_russian_region_list(doc: Node):
+    """``getRussionRegionList`` — HtmlParsing.fs:303-314: fixed-style 13px
+    tables, EVERY row (no header skip), (code, name) = td[0], td[1]."""
+    out = []
+    for x in doc.descendants("table"):
+        if not (x.has_attribute("dir", "ltr") and x.has_attribute("style", _REGIONS_TABLE_STYLE)):
+            continue
+        for tr in x.descendants("tr"):
+            td = tr.elements("td")
+            out.append((td[0].inner_text(), td[1].inner_text()))
+    return out
+
+
+def get_russian_cities_list(doc: Node):
+    """``getRussionCitiesList`` — HtmlParsing.fs:316-329: table with
+    ``id=table2`` and ``dir=LTR`` (attr compare is case-insensitive), skip
+    the header row, keep only rows with EXACTLY 5 td elements →
+    (name, subordination, code, region) = td[0..3] (td[4] unused)."""
+    out = []
+    for x in doc.descendants("table"):
+        if not (x.has_id("table2") and x.has_attribute("dir", "LTR")):
+            continue
+        trs = list(x.descendants("tr"))[1:]
+        for tr in trs:
+            td = tr.elements("td")
+            if len(td) == 5:
+                out.append(
+                    (td[0].inner_text(), td[1].inner_text(),
+                     td[2].inner_text(), td[3].inner_text())
+                )
+    return out

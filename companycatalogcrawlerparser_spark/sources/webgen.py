@@ -365,3 +365,83 @@ def jsprav_company_page() -> str:
         '<div class="org"><h3>БезАдреса</h3><a href="/f/2">no-addr.example.com</a></div>'
         "</body></html>"
     )
+
+
+_CITIES_STYLE = (
+    "table-layout:fixed;font-size:10pt;font-family:arial,sans,sans-serif;"
+    "width:0px;border-collapse:collapse;border:none"
+)
+_REGIONS_STYLE = (
+    "table-layout:fixed;font-size:13px;font-family:arial,sans,sans-serif;"
+    "border-collapse:collapse;border:none"
+)
+
+
+def statdata_cities_page(n_tables: int = 6, cities_per_table: int = 5) -> str:
+    """H7 ``getCities`` fixture — statdata.ru-style sheet export: several
+    fixed-style tables (code = table ordinal); height:21px rows; city name
+    in the THIRD td, some prefixed ``г.``. The last table (code=n_tables)
+    carries real city names so the Code='6' slice is meaningful."""
+    real = ["Header", "Екатеринбург", "г.Казань", "Омск", "Пермь"]
+    tables = []
+    for t in range(1, n_tables + 1):
+        rows = []
+        for i in range(cities_per_table):
+            name = real[i % len(real)] if t == n_tables else f"Город{t}-{i}"
+            rows.append(
+                f'<tr style="height:21px"><td>{t}.{i}</td><td>pop</td>'
+                f"<td> {name} </td></tr>"
+            )
+        # a non-matching row and a short row (≤2 tds, skipped)
+        rows.append('<tr><td>x</td><td>y</td><td>skip-me</td></tr>')
+        rows.append('<tr style="height:21px"><td>a</td><td>b</td></tr>')
+        tables.append(
+            f'<table dir="ltr" style="{_CITIES_STYLE}">' + "".join(rows) + "</table>"
+        )
+    # a decoy table without the style attr
+    decoy = '<table dir="ltr"><tr style="height:21px"><td>1</td><td>2</td><td>Декой</td></tr></table>'
+    return "<html><body>" + decoy + "".join(tables) + "</body></html>"
+
+
+def country_list_page() -> str:
+    """H7 ``getCountryList`` fixture — ``table.country-list`` with a header
+    row and 7-column body rows."""
+    rows = [
+        "<tr><th>#</th><th>Name</th><th>FName</th><th>Capital</th><th>Phone</th><th>Domain</th><th>Region</th></tr>",
+        "<tr><td>1</td><td>Россия</td><td>Российская Федерация</td><td>Москва</td><td>+7</td><td>.ru</td><td>Европа</td></tr>",
+        "<tr><td>2</td><td>Казахстан</td><td>Республика Казахстан</td><td>Астана</td><td>+7</td><td>.kz</td><td>Азия</td></tr>",
+    ]
+    return (
+        '<html><body><table class="country-list">' + "".join(rows) + "</table>"
+        "<table><tr><td>not-a-country</td></tr></table></body></html>"
+    )
+
+
+def russian_regions_page() -> str:
+    """H7 ``getRussionRegionList`` fixture — 13px fixed-style table, NO
+    header row (the reference iterates every tr)."""
+    rows = [
+        "<tr><td>66</td><td>Свердловская область</td></tr>",
+        "<tr><td>16</td><td>Республика Татарстан</td></tr>",
+        "<tr><td>55</td><td>Омская область</td></tr>",
+    ]
+    return (
+        f'<html><body><table dir="ltr" style="{_REGIONS_STYLE}">'
+        + "".join(rows)
+        + "</table></body></html>"
+    )
+
+
+def russian_cities_page() -> str:
+    """H7 ``getRussionCitiesList`` fixture — ``table#table2 dir=LTR``,
+    header skipped, only 5-td rows kept."""
+    rows = [
+        "<tr><td>Name</td><td>Sub</td><td>Code</td><td>Region</td><td>Pop</td></tr>",
+        "<tr><td>Екатеринбург</td><td>обл</td><td>66</td><td>Свердловская</td><td>1500000</td></tr>",
+        "<tr><td>Казань</td><td>респ</td><td>16</td><td>Татарстан</td><td>1300000</td></tr>",
+        "<tr><td>short-row</td><td>x</td></tr>",
+        "<tr><td>Омск</td><td>обл</td><td>55</td><td>Омская</td><td>1100000</td></tr>",
+    ]
+    return (
+        '<html><body><table id="table2" dir="LTR">' + "".join(rows) + "</table></body></html>"
+    )
