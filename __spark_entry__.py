@@ -563,11 +563,14 @@ def q_ann_bruteforce(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    return SIM.cosine_topk_lsh(queries, emb, k=5).select(
-        "query_id", "neighbor_id", "rank"
-    )
+    """ann_lsh now carries a REAL oracle (VERDICT r01 #7): per-query
+    recall@k of the Spark LSH pipeline vs the Spark brute-force baseline,
+    over deterministic integer-valued vectors; the DuckDB twin recomputes
+    both top-k sets with an independent pure-Python implementation (see
+    harness.q_ann_lsh_recall / ann_lsh_oracle_sql) and joins them."""
+    from companycatalogcrawlerparser_spark import harness as _H
+
+    return _H.q_ann_lsh_recall(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -659,7 +662,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        # crawl-surface hard signal (engine crawl/extract vs pure-Python
+        # refsem oracle parquet) — companycatalogcrawlerparser_spark.harness
+        **_crawl_harness_queries(),
     }
+
+
+def _crawl_harness_queries():
+    from companycatalogcrawlerparser_spark import harness as _H
+
+    return _H.CRAWL_QUERIES
+
+
+def _crawl_harness_oracle_sql():
+    from companycatalogcrawlerparser_spark import harness as _H
+
+    out = _H.crawl_oracle_sql()
+    out["ann_lsh"] = _H.ann_lsh_oracle_sql()
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1050,6 +1070,7 @@ SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
         # x6_translit / minhash… / ann_lsh: ann_lsh is Spark-only (recall<1 by
         # design) → rows-only check; x6 covered below.
         "x6_translit": _x6_oracle_sql(),
+        **_crawl_harness_oracle_sql(),
     }
 
 

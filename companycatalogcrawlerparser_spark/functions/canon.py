@@ -158,3 +158,25 @@ def translit_cyrillic_to_latin(col: Column) -> Column:
     for src, dst in _TRANSLIT.items():
         expr = F.replace(expr, F.lit(src), F.lit(dst))
     return expr
+
+
+# NOTE `[META|meta]` is a CHARACTER CLASS in the reference (quirk) —
+# reproduced verbatim from refsem.strings._META_RE.
+_META_CHARSET_RE = (
+    "<[META|meta](?!\\s*(?:name|value)\\s*=)[^>]*?charset\\s*=[\\s\"']*"
+    "[a-zA-Z0-9-]+[\\s\"'/]*>"
+)
+
+
+def sniff_encoding(html_text: Column) -> Column:
+    """X9 ``getEncoding`` (``Utils.fs:125-141``) as native expressions:
+    extract the meta tag, then mirror the reference's literal
+    ``find("charset=")`` + char-set strip — so ``charset =`` (space before
+    ``=``) matches the regex but misses the find and falls back to utf-8,
+    exactly like the reference."""
+    tag = F.regexp_extract(html_text, _META_CHARSET_RE, 0)
+    idx = F.instr(tag, "charset=")
+    val = tag.substr(idx + F.lit(8), F.length(tag))
+    val = F.regexp_replace(val, "^['\"/> ]+", "")
+    val = F.regexp_replace(val, "['\"/> ]+$", "")
+    return F.when(idx > 1, val).otherwise(F.lit("utf-8"))

@@ -445,3 +445,53 @@ def russian_cities_page() -> str:
     return (
         '<html><body><table id="table2" dir="LTR">' + "".join(rows) + "</table></body></html>"
     )
+
+
+def jsprav_catalog_page() -> str:
+    """H2 ``getNovCategoryLinks`` fixture — ``div.cats-list row`` blocks with
+    ``h3>a`` roots and plain ``<a>`` leaves (incl. a ``show_all`` anchor —
+    its nested fetch is a second extraction round in the Spark plan)."""
+    col = "col-xs-12 col-sm-6 col-md-6 col-lg-4"
+    return (
+        "<html><body>"
+        '<div class="cats-list row">'
+        f'<div class="{col}">'
+        "<h3><a href=\"/cat/uslugi/\">Услуги</a></h3>"
+        '<a href="/cat/remont/">Ремонт</a>'
+        '<a href="/cat/uborka/">Уборка</a>'
+        '<a class="show_all" href="/cat/uslugi//all/">Показать все</a>'
+        "</div>"
+        f'<div class="{col}">'
+        "<h3><a href=\"/cat/torgovlya/\">Торговля</a></h3>"
+        '<a href="/cat/produkty/">Продукты</a>'
+        "</div>"
+        "</div>"
+        '<div class="other"><a href="/x/">decoy</a></div>'
+        "</body></html>"
+    )
+
+
+def spravker_catalog_page() -> str:
+    """H3 ``getCategoryLinks`` fixture — ``a.header`` roots (exact class)."""
+    return (
+        "<html><body>"
+        '<a class="header" href="/cats/avto/">Авто</a>'
+        '<a class="header extra" href="/cats/decoy/">Не точный класс</a>'
+        '<a class="header" href="/cats/stroika/">Стройка</a>'
+        '<a href="/plain/">без класса</a>'
+        "</body></html>"
+    )
+
+
+def encoding_probe_pages():
+    """X9 ``getEncoding`` fixtures — one per quirk branch of Utils.fs:125-141."""
+    return [
+        ("http://enc.test/p1", '<html><head><meta charset="windows-1251"></head><body>x</body></html>'),
+        ("http://enc.test/p2", "<html><head><meta charset=utf-8></head><body>x</body></html>"),
+        ("http://enc.test/p3", '<html><head><META CHARSET="KOI8-R"/></head><body>x</body></html>'),
+        # "charset =" (space before =): regex matches but the literal
+        # find("charset=") misses → utf-8 (reference quirk)
+        ("http://enc.test/p4", '<html><head><meta charset ="cp866"></head><body>x</body></html>'),
+        ("http://enc.test/p5", "<html><head><title>no meta</title></head><body>x</body></html>"),
+        ("http://enc.test/p6", '<html><head><meta name="viewport" charset="decoy"></head><body>x</body></html>'),
+    ]
