@@ -360,6 +360,35 @@ def q_f12_mailer_resume(spark, sf_dir):
     )
 
 
+def q_f1_start_http(spark, sf_dir):
+    u = _urls(spark, sf_dir)
+    return u.select("id", "url", P.start_http(F.col("url")).alias("is_http"))
+
+
+def q_f6_stopword_blacklist(spark, sf_dir):
+    u = _urls(spark, sf_dir)
+    return u.select("id", "url", P.url_not_contains(F.col("url")).alias("passes"))
+
+
+def q_k8_mark_bad(spark, sf_dir):
+    from companycatalogcrawlerparser_spark.plans.mailer import mark_bad
+
+    e = (
+        _emails_tbl(spark, sf_dir)
+        .withColumn("email_id", F.col("company_id"))
+        .withColumn("bad_ignore_email", F.lit(False))
+        .select("email_id", "email", "bad_ignore_email")
+    )
+    bad = e.filter(F.col("email_id") % 7 == 0).select("email_id")
+    return mark_bad(e, bad).select("email_id", "email", "bad_ignore_email")
+
+
+def q_s7_template_scan(spark, sf_dir):
+    from companycatalogcrawlerparser_spark import harness as _H
+
+    return _H.q_s7_template_scan(spark, sf_dir)
+
+
 def q_f13_tree_slice(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     return p.filter(
@@ -624,6 +653,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_f3_filters": q_f2_f3_filters,
         "f4_contacts_page": q_f4_contacts_page,
         "f5_digit_tail": q_f5_digit_tail,
+        "f1_start_http": q_f1_start_http,
+        "f6_stopword_blacklist": q_f6_stopword_blacklist,
+        "k8_mark_bad": q_k8_mark_bad,
+        "s7_template_scan": q_s7_template_scan,
         "a5_count_substring": q_a5_count_substring,
         "f10_email_postfilter": q_f10_email_postfilter,
         "x5_trim_subject": q_x5_trim_subject,
@@ -679,6 +712,7 @@ def _crawl_harness_oracle_sql():
 
     out = _H.crawl_oracle_sql()
     out["ann_lsh"] = _H.ann_lsh_oracle_sql()
+    out["s7_template_scan"] = _H.s7_oracle_sql()
     return out
 
 
@@ -804,6 +838,22 @@ WITH u AS ({urls})
 SELECT id, url FROM u
 WHERE NOT regexp_matches(lower(url), '(?:\\.png|\\.jpg|\\.jpeg|\\.jfif|\\.bmp|\\.gif|\\.tiff|\\.tif|\\.webp|\\.js|\\.css)$')
   AND NOT regexp_matches(lower(url), 'facebook\\.com|twitter\\.com|pinterest\\.com|linkedin\\.com|instagram\\.com|youtube\\.com|vk\\.com')
+""",
+        "f1_start_http": f"""
+WITH u AS ({urls})
+SELECT id, url,
+       (url LIKE 'http://%' OR url LIKE 'https://%') AS is_http
+FROM u
+""",
+        "f6_stopword_blacklist": f"""
+WITH u AS ({urls})
+SELECT id, url, NOT ({_stopword_contains_sql()}) AS passes FROM u
+""",
+        "k8_mark_bad": f"""
+WITH e AS ({emails})
+SELECT company_id AS email_id, email,
+       (company_id % 7 = 0) AS bad_ignore_email
+FROM e
 """,
         "f4_contacts_page": f"""
 WITH u AS ({urls})
@@ -1072,6 +1122,16 @@ SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
         "x6_translit": _x6_oracle_sql(),
         **_crawl_harness_oracle_sql(),
     }
+
+
+def _stopword_contains_sql() -> str:
+    """F6 ~80-word blacklist as explicit position() containment — mirrors
+    the reference's substring Contains semantics exactly."""
+    from companycatalogcrawlerparser_spark.refsem.predicates import URL_STOPWORDS
+
+    return " OR ".join(
+        f"position('{w}' IN lower(url)) > 0" for w in URL_STOPWORDS
+    )
 
 
 def _x6_oracle_sql() -> str:

@@ -629,3 +629,50 @@ SELECT q.query_id,
        round(coalesce(m.n_match, 0) / {float(ANN_K)}, 6) AS recall
 FROM q LEFT JOIN m USING (query_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# S7 — binaryFile template scan as a driver row
+
+TEMPLATE_FILES = [
+    ("invite.msg", b"Subject: invite\n\nBody one"),
+    ("sub/followup.msg", b"Subject: follow\n\nBody two, longer"),
+    ("sub/readme.txt", b"not a template"),
+    ("deep/nested/promo.msg", b"Subject: promo\n\nP"),
+]
+
+
+def template_dir() -> str:
+    if "template_dir" in _memo:
+        return _memo["template_dir"]
+    d = tempfile.mkdtemp(prefix="ccp_templates_")
+    for rel, data in TEMPLATE_FILES:
+        path = os.path.join(d, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(data)
+    _memo["template_dir"] = d
+    return d
+
+
+def q_s7_template_scan(spark, sf_dir) -> DataFrame:
+    from .plans.mailer import load_templates
+
+    df = load_templates(spark, template_dir())
+    return df.select(
+        F.element_at(F.split(F.col("template_name"), "/"), -1).alias("file_name"),
+        F.length("content").cast("long").alias("n_bytes"),
+    )
+
+
+def s7_oracle_sql() -> str:
+    rows = [
+        (rel.split("/")[-1], len(data))
+        for rel, data in TEMPLATE_FILES
+        if rel.endswith(".msg")
+    ]
+    values = ", ".join(f"('{n}', {s})" for n, s in rows)
+    return (
+        f"SELECT file_name, CAST(n_bytes AS BIGINT) AS n_bytes "
+        f"FROM (VALUES {values}) AS t(file_name, n_bytes)"
+    )

@@ -57,7 +57,12 @@ def minhash_signature(
 
     md5 hex strings compare lexicographically the same in Spark and DuckDB,
     so the signature is engine-portable without 64-bit integer tricks.
-    """
+
+    Formulation note (measured at sf0.1): explode→hash-aggregate stays in
+    whole-stage codegen with map-side partial min and beats the
+    "shuffle-free" ``array_min(transform(…))`` per-row variant by ~10× —
+    nested higher-order functions are CodegenFallback (interpreted, boxed),
+    so the classic explode pattern wins despite the shuffle."""
     ex = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle")
     )
@@ -102,14 +107,22 @@ def minhash_lsh_pairs(
     the same predicate) and the skipped volume stays observable via
     :func:`lsh_oversized_buckets` — nothing is silently dropped.
     """
-    banded = _lsh_banded(df, id_col, text_col, k, num_hashes, bands)
-    ok = (
-        banded.groupBy("band", "key")
-        .agg(F.count("*").alias("__n"))
-        .filter(F.col("__n") <= max_bucket)
-        .select("band", "key")
+    # checkpoint the banded signatures: three consumers below (window count
+    # + both sides of the self-join) would otherwise recompute the shingle
+    # explode+aggregate; the checkpointed rows are tiny (id, band, key).
+    # NB under AQE a lazy localCheckpoint materializes upstream stages when
+    # the first action touches it — fine here, the result is always used.
+    banded = _lsh_banded(df, id_col, text_col, k, num_hashes, bands).localCheckpoint(
+        eager=False
     )
-    capped = banded.join(ok, ["band", "key"], "left_semi")
+    # bucket-size gate as a WINDOW count: one shuffle on (band,key) over
+    # the checkpointed rows, no extra join
+    bw = Window.partitionBy("band", "key")
+    capped = (
+        banded.withColumn("__n", F.count("*").over(bw))
+        .filter(F.col("__n") <= max_bucket)
+        .drop("__n")
+    )
 
     a = capped.alias("a")
     b = capped.alias("b")

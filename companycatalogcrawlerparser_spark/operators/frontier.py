@@ -36,12 +36,23 @@ def schedule(
     politeness: DataFrame | None = None,
     default_delay_ms: int = DEFAULT_DELAY_MS,
     url_col: str = "url",
+    two_level: bool = True,
 ) -> DataFrame:
     """Adds ``host``, ``host_rank`` (0-based per-host fetch index) and
     ``not_before`` (logical ms offset within the round).
 
     ``politeness``: optional (host, delay_ms) table; a ``*`` row sets the
     default. Broadcast-joined (dimension-sized).
+
+    ``two_level`` (default): the per-host rank is computed as
+    intra-group rank + per-group offset, where a group is
+    (host, priority, company_id). The rank window then parallelizes over
+    groups, and the only per-host serial work is the offset cumsum over
+    GROUP-level rows (one per company, not one per URL) — at 100× scale a
+    hot host's frontier no longer lands in a single window task
+    (VERDICT r01 #5). ``two_level=False`` keeps the direct single window
+    (fewer stages; fine when no host dominates). Both produce identical
+    ranks: ordering is (priority, company_id, seq, url) either way.
     """
     df = with_host(frontier, url_col)
 
@@ -58,11 +69,29 @@ def schedule(
         df = df.join(F.broadcast(dim), "host", "left")
         delay = F.coalesce(F.col("__host_delay"), F.lit(star_delay))
 
-    w = Window.partitionBy("host").orderBy("priority", "company_id", "seq")
-    df = (
-        df.withColumn("host_rank", F.row_number().over(w) - 1)
-        .withColumn("not_before", F.col("host_rank") * delay)
-    )
+    if two_level:
+        gkeys = ["host", "priority", "company_id"]
+        gw = Window.partitionBy(*gkeys).orderBy("seq", url_col)
+        ranked = df.withColumn("__gr", F.row_number().over(gw) - 1)
+        sizes = df.groupBy(*gkeys).agg(F.count("*").alias("__n"))
+        ow = (
+            Window.partitionBy("host")
+            .orderBy("priority", "company_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = sizes.select(
+            *gkeys, F.coalesce(F.sum("__n").over(ow), F.lit(0)).alias("__off")
+        )
+        df = (
+            ranked.join(offsets, gkeys)
+            .withColumn("host_rank", (F.col("__gr") + F.col("__off")).cast("long"))
+            .drop("__gr", "__off")
+        )
+    else:
+        w = Window.partitionBy("host").orderBy("priority", "company_id", "seq", url_col)
+        df = df.withColumn("host_rank", (F.row_number().over(w) - 1).cast("long"))
+
+    df = df.withColumn("not_before", F.col("host_rank") * delay)
     return df.drop("__host_delay") if politeness is not None else df
 
 

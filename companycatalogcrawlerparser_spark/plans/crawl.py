@@ -290,28 +290,28 @@ def run_crawl(
     return out
 
 
+def _materialize_parallel(phases) -> None:
+    """Force lazy localCheckpoints to execute, one phase at a time, with
+    the DataFrames inside a phase materialized from concurrent driver
+    threads (Spark runs the jobs in parallel — under local-mode AQE this
+    overlaps the serial per-stage materialization latency). Phases order
+    dependencies: a later phase's plans may read earlier checkpoints."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    for group in phases:
+        if len(group) == 1:
+            group[0].count()
+            continue
+        with ThreadPoolExecutor(max_workers=len(group)) as ex:
+            list(ex.map(lambda d: d.count(), group))
+
+
 def _seed_round(spark, cfg, fetched, ok, tokens) -> dict:
     """Per-company branch logic of round 0 (``Crawler.fs:326-379``)."""
     # each of these subtrees feeds bag + flags + frontier_next — checkpoint
     # so the three commit writes don't recompute the window chains
     mailto = X.mailto_emails(tokens).localCheckpoint(eager=False)
     emails0 = X.regex_emails(tokens).localCheckpoint(eager=False)
-
-    per_company = (
-        fetched.select("company_id")
-        .distinct()
-        .join(
-            mailto.groupBy("company_id").agg(F.count("*").alias("n_mailto")),
-            "company_id",
-            "left",
-        )
-        .join(
-            emails0.groupBy("company_id").agg(F.count("*").alias("n_emails")),
-            "company_id",
-            "left",
-        )
-        .fillna(0, ["n_mailto", "n_emails"])
-    )
 
     # error / empty-html companies → (true, true, false)
     bad = fetched.filter(
@@ -333,17 +333,39 @@ def _seed_round(spark, cfg, fetched, ok, tokens) -> dict:
         dl_companies, "company_id", "left_anti"
     ).localCheckpoint(eager=False)
 
+    # AQE under local mode materializes query stages serially; the five
+    # subtrees (tokens already queued, mailto, emails0, data_link,
+    # contact_hrefs) are independent, so force their materialization from
+    # concurrent driver threads — Spark schedules the jobs in parallel and
+    # the fixed per-stage latency overlaps instead of adding up.
+    _materialize_parallel(
+        [[tokens], [mailto, emails0, data_link], [contact_hrefs]]
+    )
+
+    # per-company stats in ONE shuffle: tag-union the five company streams
+    # and pivot by tag in a single aggregation (was: five separate
+    # aggregate+join chains — measured as pure AQE stage overhead)
+    tagged = (
+        mailto.select("company_id", F.lit("m").alias("__t"))
+        .unionByName(emails0.select("company_id", F.lit("e").alias("__t")))
+        .unionByName(bad.select("company_id", F.lit("b").alias("__t")))
+        .unionByName(dl_companies.select("company_id", F.lit("d").alias("__t")))
+        .unionByName(contact_hrefs.select("company_id", F.lit("c").alias("__t")))
+    )
+    counts = tagged.groupBy("company_id").agg(
+        F.sum(F.when(F.col("__t") == "m", 1).otherwise(0)).alias("n_mailto"),
+        F.sum(F.when(F.col("__t") == "e", 1).otherwise(0)).alias("n_emails"),
+        F.max(F.col("__t") == "b").alias("__bad"),
+        F.max(F.col("__t") == "d").alias("__dl"),
+        F.max(F.col("__t") == "c").alias("__ch"),
+    )
     stats = (
-        per_company.join(bad.withColumn("__bad", F.lit(True)).distinct(), "company_id", "left")
-        .join(
-            dl_companies.withColumn("__dl", F.lit(True)), "company_id", "left"
-        )
-        .join(
-            contact_hrefs.select("company_id").distinct().withColumn("__ch", F.lit(True)),
-            "company_id",
-            "left",
-        )
+        fetched.select("company_id")
+        .distinct()
+        .join(counts, "company_id", "left")
+        .fillna(0, ["n_mailto", "n_emails"])
         .fillna(False, ["__bad", "__dl", "__ch"])
+        .localCheckpoint(eager=False)
     )
 
     flags = stats.select(
@@ -359,7 +381,7 @@ def _seed_round(spark, cfg, fetched, ok, tokens) -> dict:
     )
 
     # frontier expansion blocked for mailto>1 companies (Crawler.fs:343-344)
-    expandable = per_company.filter(F.col("n_mailto") <= 1).select("company_id")
+    expandable = stats.filter(F.col("n_mailto") <= 1).select("company_id")
 
     base_urls = ok.select("company_id", "base_url").distinct()
     fr_dl = (

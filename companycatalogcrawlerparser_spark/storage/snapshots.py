@@ -41,10 +41,22 @@ class SnapshotStore:
     ) -> dict:
         data_dir = os.path.join(self.root, "data", f"round={round_id}")
         manifest: dict = {"round": round_id, "tables": {}, "counters": counters or {}}
-        for name, df in tables.items():
+
+        # write the tables from concurrent driver threads: the writes are
+        # independent jobs over (mostly) already-checkpointed inputs, so the
+        # per-job stage latency overlaps; atomicity still comes solely from
+        # the manifest rename below
+        def _write(item):
+            name, df = item
             path = os.path.join(data_dir, name)
             df.write.mode("overwrite").parquet(path)
-            manifest["tables"][name] = {"path": path}
+            return name, path
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max(1, len(tables))) as ex:
+            for name, path in ex.map(_write, list(tables.items())):
+                manifest["tables"][name] = {"path": path}
         tmp = os.path.join(self.root, "manifests", f".round-{round_id}.json.tmp")
         final = os.path.join(self.root, "manifests", f"round-{round_id}.json")
         with open(tmp, "w") as f:

@@ -111,6 +111,43 @@ class TestBloom:
         assert us.filter_unseen(cand, seen).count() == 1
 
 
+class TestTwoLevelPoliteness:
+    """schedule(two_level=True) must rank identically to the direct
+    per-host window while keeping the per-host serial work at GROUP
+    granularity (VERDICT r01 #5)."""
+
+    def test_ranks_match_single_window(self, spark):
+        from companycatalogcrawlerparser_spark.operators import frontier as FR
+
+        rows = []
+        # skewed: one hot host with many companies, several small hosts
+        for cid in range(40):
+            host = "hot.ru" if cid % 2 == 0 else f"h{cid}.ru"
+            for seq in range(5):
+                prio = (cid + seq) % 3
+                rows.append((cid, f"http://{host}/p{cid}-{seq}", prio, seq, f"http://{host}"))
+        df = spark.createDataFrame(
+            rows, "company_id long, url string, priority int, seq int, base_url string"
+        )
+        a = {
+            (r["url"]): (r["host"], r["host_rank"], r["not_before"])
+            for r in FR.schedule(df, two_level=True).collect()
+        }
+        b = {
+            (r["url"]): (r["host"], r["host_rank"], r["not_before"])
+            for r in FR.schedule(df, two_level=False).collect()
+        }
+        assert a == b
+        # budget property: per-host gaps of delay_ms
+        by_host = {}
+        for host, rank, nb in a.values():
+            by_host.setdefault(host, []).append((rank, nb))
+        for host, v in by_host.items():
+            v.sort()
+            assert [r for r, _ in v] == list(range(len(v)))
+            assert all(nb == r * FR.DEFAULT_DELAY_MS for r, nb in v)
+
+
 class TestAssignDenseIds:
     """Distributed replacement for row_number() OVER (ORDER BY …) — the
     global-window email-id bottleneck (VERDICT r01 #4 / ADVICE r01)."""
@@ -332,6 +369,31 @@ class TestMultimodal:
     def test_real_decode_raises(self):
         with pytest.raises(NotImplementedError):
             MM._decode_image_real(b"xx")
+
+    def test_frame_sample_dedup_integration(self, spark):
+        """VERDICT r01 #10 — the frame_sample plumbing composes with the
+        dedup family end-to-end: duplicated video payloads produce
+        identical frame-hash signatures, so an exact groupBy dedup over
+        the sampled frames finds the duplicate pair and nothing else."""
+        payload_a = b"A" * 256
+        payload_b = b"B" * 256
+        rows = [
+            (1, "video", payload_a, "video/x-fake", 64, 48, 15000),
+            (2, "video", payload_a, "video/x-fake", 64, 48, 15000),  # dup of 1
+            (3, "video", payload_b, "video/x-fake", 64, 48, 15000),
+        ]
+        assets = spark.createDataFrame(rows, MM.ASSET_SCHEMA)
+        frames = MM.frame_sample(assets, every_ms=5000)
+        sig = frames.groupBy("asset_id").agg(
+            F.concat_ws("|", F.sort_array(F.collect_list("frame_hash"))).alias("sig")
+        )
+        groups = (
+            sig.groupBy("sig")
+            .agg(F.sort_array(F.collect_list("asset_id")).alias("ids"), F.count("*").alias("n"))
+            .filter(F.col("n") >= 2)
+            .collect()
+        )
+        assert len(groups) == 1 and list(groups[0]["ids"]) == [1, 2]
 
     def test_frame_sample_and_resize(self, spark):
         vids = MM.make_assets(spark, 4, "video")
