@@ -56,7 +56,9 @@ def gen_corpus(spark, n_companies: int, corpus_dir: str, filler_kb: int = 0):
     seeds.write.mode("overwrite").parquet(f"{corpus_dir}/seeds")
 
 
-def run_crawl_bench(spark, corpus_dir: str, out_dir: str, cores: int) -> dict:
+def run_crawl_bench(
+    spark, corpus_dir: str, out_dir: str, cores: int, take_limit: int = 100000
+) -> dict:
     from companycatalogcrawlerparser_spark.plans.crawl import CrawlConfig, run_crawl
     from pyspark.sql import functions as F
 
@@ -66,6 +68,7 @@ def run_crawl_bench(spark, corpus_dir: str, out_dir: str, cores: int) -> dict:
         num_partitions=max(cores, 8),
         n_buckets=64,
         collect_counters=False,
+        take_limit=take_limit,
     )
     t0 = time.monotonic()
     res = run_crawl(spark, pages, seeds, out_dir, cfg)
@@ -157,7 +160,9 @@ def main_crawl_only(args):
     if not os.path.exists(f"{args.corpus_dir}/pages"):
         gen_corpus(spark, args.companies, args.corpus_dir, args.filler_kb)
     out_dir = tempfile.mkdtemp(prefix=f"bench_crawl_{args.cores}_")
-    res = run_crawl_bench(spark, args.corpus_dir, out_dir, args.cores)
+    res = run_crawl_bench(
+        spark, args.corpus_dir, out_dir, args.cores, take_limit=args.take_limit
+    )
     shutil.rmtree(out_dir, ignore_errors=True)
     with open(args.json_out, "w") as f:
         json.dump(res, f)
@@ -174,6 +179,7 @@ def main_scaling(args):
             "--cores", str(cores), "--companies", str(args.companies),
             "--corpus-dir", corpus_dir, "--json-out", json_out,
             "--filler-kb", str(args.filler_kb),
+            "--take-limit", str(args.take_limit),
         ]
         subprocess.run(cmd, check=True, cwd=REPO)
         with open(json_out) as f:
@@ -226,6 +232,7 @@ if __name__ == "__main__":
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--corpus-dir", default=None)
     ap.add_argument("--filler-kb", type=int, default=int(os.environ.get("SPARK_GRAFT_FILLER_KB", "0")))
+    ap.add_argument("--take-limit", type=int, default=100000)
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
     if args.crawl_only:

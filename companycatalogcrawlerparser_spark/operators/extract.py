@@ -75,6 +75,134 @@ def extract_tokens(fetched: DataFrame) -> DataFrame:
     return cols.mapInPandas(run, schema=PAGE_TOKENS_SCHEMA)
 
 
+def extract_tokens_meta(fetched: DataFrame) -> DataFrame:
+    """ONE streaming pass over the fetch join: html flows straight through
+    the Arrow UDTF and never materializes anywhere — the output carries the
+    fetch METADATA passthrough (everything but html) + ``has_html`` (the
+    IsNullOrWhiteSpace gate, Crawler.fs:326 — Python ``strip``, matching
+    the refsem oracle) + the per-page token arrays.
+
+    Rationale: checkpointing the joined html (30 KB × frontier) was the
+    dominant core-count-independent cost at bench scale — 16 GB of block
+    manager writes per round for bytes every consumer except the extract
+    immediately drops. This variant makes the post-fetch state per page
+    ~1-2 KB of token arrays, so the round checkpoint is metadata-sized.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    meta_fields = [f for f in fetched.schema.fields if f.name != "html"]
+    meta_names = [f.name for f in meta_fields]
+    out_schema = T.StructType(
+        meta_fields
+        + [
+            T.StructField("has_html", T.BooleanType()),
+            T.StructField("hrefs", T.ArrayType(T.StringType())),
+            T.StructField("anchor_names", T.ArrayType(T.StringType())),
+            T.StructField("anchor_urls", T.ArrayType(T.StringType())),
+            T.StructField("emails", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from ..refsem.extract import (
+            ANCHOR_RE,
+            MULTIPLE_EMAIL_RE,
+            _href_match_values,
+        )
+
+        for b in batches:
+            out = b[meta_names].copy()
+            hh, hr, an, au, em = [], [], [], [], []
+            for html in b["html"]:
+                text = (
+                    bytes(html).decode("utf-8", errors="replace")
+                    if html is not None
+                    else ""
+                )
+                if text.strip() == "":
+                    hh.append(False)
+                    hr.append([]); an.append([]); au.append([]); em.append([])
+                    continue
+                anchors = ANCHOR_RE.findall(text)  # [(url, name), ...]
+                hh.append(True)
+                hr.append(_href_match_values(text))
+                au.append([a[0] for a in anchors])
+                an.append([a[1] for a in anchors])
+                em.append([m.group(0) for m in MULTIPLE_EMAIL_RE.finditer(text)])
+            out["has_html"] = hh
+            out["hrefs"] = hr
+            out["anchor_names"] = an
+            out["anchor_urls"] = au
+            out["emails"] = em
+            yield out
+
+    return fetched.mapInPandas(run, out_schema)
+
+
+# Java-regex twins of refsem.extract's patterns (dialect pinned):
+# - (?d) = UNIX_LINES so `.` excludes ONLY \n, matching Python/.NET default
+#   (Java's default `.` also excludes \r and unicode line separators);
+# - (?U) makes \w Unicode like .NET/Python (Java default \w is ASCII);
+# - the anchor regex carries (?is) = IgnoreCase|Singleline per the
+#   reference (Crawler.fs:54-57); the href regex has NO flags
+#   (RegexOptions.None, Crawler.fs:76,126,156).
+_HREF_PAT_JAVA = "(?d)(?:href)=[\"|']?(.*?)[\"|'|>]+"
+_ANCHOR_PAT_JAVA = "(?is)<a.*?href=[\"'](.*?)[\"'].*?>(.*?)</a>"
+_EMAIL_PAT_JAVA = r"(?U)\w+([-+.]\w+)*@\w+([-.]\w+)*\.\w+([-.]\w+)*"
+
+
+def _href_trims(v):
+    """The .NET char-set trims of Crawler.fs:129,157 — ``ltrim``/``rtrim``
+    with a trim STRING are character-set trims in Spark too, so the quirk
+    (Q3) maps natively: TrimStart("href=") eats {h,r,e,f,=} runs, etc."""
+    t = F.ltrim(v, F.lit("href="))
+    t = F.rtrim(F.ltrim(t, F.lit('"')), F.lit('"'))
+    return F.rtrim(t, F.lit('">'))
+
+
+def extract_tokens_native(fetched: DataFrame) -> DataFrame:
+    """JVM-native twin of :func:`extract_tokens_meta` — identical output
+    schema, zero Python: the html string never leaves the JVM (no Arrow
+    transfer), the regexes run inside whole-stage codegen.
+
+    Measured rationale: the Arrow path moves the full decompressed html
+    (30 KB × frontier, ~16 GB/round at bench scale) through a pipe into
+    Python workers — memory-bandwidth-bound and nearly core-count-
+    independent. Native extraction removes that transfer entirely.
+
+    Dialect risk is pinned three ways: the flag choices above, the
+    crawl-equality pytest suite (engine vs pure-Python oracle end-to-end),
+    and the driver harness's crawl_trace / x10 / x11 / f8 hash rows, which
+    compare THIS path against the Python-regex refsem oracle per row.
+    """
+    text = F.col("html").cast("string")
+    has_html = F.coalesce(~text.rlike(r"(?U)^\s*$"), F.lit(False))
+    empty = F.array().cast("array<string>")
+
+    def all_matches(pat: str, group: int):
+        return F.coalesce(
+            F.regexp_extract_all(text, F.lit(pat), F.lit(group)), empty
+        )
+
+    hrefs = F.transform(all_matches(_HREF_PAT_JAVA, 0), _href_trims)
+    anchor_urls = all_matches(_ANCHOR_PAT_JAVA, 1)
+    anchor_names = all_matches(_ANCHOR_PAT_JAVA, 2)
+    emails = all_matches(_EMAIL_PAT_JAVA, 0)
+
+    meta = [c for c in fetched.columns if c != "html"]
+    gate = lambda col: F.when(has_html, col).otherwise(empty)  # noqa: E731
+    return fetched.select(
+        *meta,
+        has_html.alias("has_html"),
+        gate(hrefs).alias("hrefs"),
+        gate(anchor_names).alias("anchor_names"),
+        gate(anchor_urls).alias("anchor_urls"),
+        gate(emails).alias("emails"),
+    )
+
+
 def _explode(tokens: DataFrame, array_col: str, value_alias: str) -> DataFrame:
     """posexplode one token array → (…, seq, <value_alias>), doc order."""
     return tokens.select(

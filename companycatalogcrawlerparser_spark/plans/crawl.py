@@ -69,6 +69,9 @@ class CrawlConfig:
     use_bloom: bool = True
     collect_counters: bool = True  # manifest counters cost extra actions;
     #                                bench runs disable them
+    native_extract: bool = True  # JVM regex extraction (no Arrow/Python
+    #   transfer of html); False = Arrow UDTF sharing the refsem regexes.
+    #   Both are oracle-verified; native is ~2x crawl throughput
     broadcast_frontier: bool = True  # per-round frontier ≤ take_limit rows
     #   → broadcast it and STREAM the corpus (html never shuffles/sorts);
     #   disable only for frontier batches beyond broadcast size, where the
@@ -117,6 +120,7 @@ def run_crawl(
     # redirect closure depends only on the corpus — compute once, cache
     # (small: the 3xx subset), reuse across rounds
     _mark("run_crawl entered")
+    restore_split = _tune_input_splits(spark, pages)
     rmap = redirect_map(pages).cache() if start_round < cfg.max_depth else None
     _mark("redirect_map built (lazy+cache)")
 
@@ -177,12 +181,27 @@ def run_crawl(
         sched = FR.salted(sched, cfg.num_partitions)
 
         _mark(f"round {round_id} plan: frontier+schedule built")
+        # the fetch join stays LAZY: html streams from the corpus scan
+        # straight through ONE Arrow pass that emits fetch metadata +
+        # per-page token arrays; only that metadata-sized frame is
+        # checkpointed (html never hits the block manager — materializing
+        # 30 KB × frontier of html was the dominant core-count-independent
+        # cost at bench scale)
         fetched = fetch_join(
             sched, pages, rmap=rmap, broadcast_frontier=cfg.broadcast_frontier
-        ).localCheckpoint(eager=False)
-        _mark(f"round {round_id} plan: fetch_join built")
+        )
+        # EAGER: the broadcast-join plan has no upstream shuffle stages, so
+        # a lazy checkpoint would defer the scan+extract to the first
+        # consumer — and CONCURRENT consumers (the parallel seed
+        # checkpoints) would then race to compute the same unmaterialized
+        # RDD, duplicating the extract. Materialize once, here.
+        extract = (
+            X.extract_tokens_native if cfg.native_extract else X.extract_tokens_meta
+        )
+        tokens = extract(fetched).localCheckpoint(eager=True)
+        _mark(f"round {round_id} plan: fetch+extract materialized (eager)")
 
-        trace = fetched.select(
+        trace = tokens.select(
             F.lit(round_id).alias("round"),
             "company_id",
             "priority",
@@ -198,28 +217,13 @@ def run_crawl(
         )
 
         # IsNullOrWhiteSpace gate on the fetched body (Crawler.fs:326)
-        ok = fetched.filter(
-            F.col("fetch_ok")
-            & F.col("html").isNotNull()
-            & (F.length(F.trim(F.col("html").cast("string"))) > 0)
-        )
-        # localCheckpoint: the Arrow extract UDF is the most expensive
-        # stage — materialize once, reuse across bag/flags/frontier/commit
-        tokens = (
-            X.extract_tokens(ok)
-            .join(
-                ok.select("company_id", "page_url", "base_url"),
-                ["company_id", "page_url"],
-                "inner",
-            )
-            .localCheckpoint(eager=False)
-        )
+        ok_tokens = tokens.filter(F.col("fetch_ok") & F.col("has_html"))
 
         if round_id == 0:
-            result = _seed_round(spark, cfg, fetched, ok, tokens)
+            result = _seed_round(spark, cfg, tokens, ok_tokens)
             _mark(f"round {round_id} plan: seed_round built")
         else:
-            bag = X.regex_emails(tokens).select("company_id", "email")
+            bag = X.regex_emails(ok_tokens).select("company_id", "email")
             result = {
                 "bag": bag,
                 "flags": spark.createDataFrame(
@@ -235,7 +239,7 @@ def run_crawl(
 
         # url_seen delta: everything this round actually attempted
         if round_id == 0:
-            delta = fetched.select(
+            delta = tokens.select(
                 seen_key(F.lit("G"), canonicalize_url(F.col("page_url"))).alias("seen_key"),
                 F.lit("G").alias("scope"),
                 canonicalize_url(F.col("page_url")).alias("canonical_url"),
@@ -243,7 +247,7 @@ def run_crawl(
             )
             url_seen = delta
         else:
-            delta = fetched.select(
+            delta = tokens.select(
                 seen_key(F.col("company_id").cast("string"), canonicalize_url(F.col("page_url"))).alias("seen_key"),
                 F.col("company_id").cast("string").alias("scope"),
                 canonicalize_url(F.col("page_url")).alias("canonical_url"),
@@ -287,60 +291,89 @@ def run_crawl(
     _mark("rounds done")
     out = finalize(spark, store, cfg)
     _mark("finalize built")
+    restore_split()
     return out
 
 
-def _materialize_parallel(phases) -> None:
-    """Force lazy localCheckpoints to execute, one phase at a time, with
-    the DataFrames inside a phase materialized from concurrent driver
-    threads (Spark runs the jobs in parallel — under local-mode AQE this
-    overlaps the serial per-stage materialization latency). Phases order
-    dependencies: a later phase's plans may read earlier checkpoints."""
+def _tune_input_splits(spark, pages: DataFrame):
+    """Size ``spark.sql.files.maxPartitionBytes`` to the ACTUAL corpus:
+    html compresses ~30:1 in parquet, so Spark's 128 MB default split can
+    carry ~4 GB of decompressed payload and the scan+extract stage ends up
+    with fewer tasks than cores (measured: core-count-independent wall).
+    Target ≈ total_bytes / (3 × cores), clamped to [8 MB, 128 MB].
+    Returns a restore callable for the previous value."""
+    try:
+        files = pages.inputFiles()
+        total = 0
+        for f in files:
+            p = f[len("file:"):] if f.startswith("file:") else f
+            if os.path.exists(p):
+                total += os.path.getsize(p)
+    except Exception:
+        return lambda: None
+    if total <= 0:
+        return lambda: None
+    cores = spark.sparkContext.defaultParallelism
+    target = max(8 << 20, min(128 << 20, total // max(1, cores * 3)))
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+
+    def restore():
+        if prev is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+    return restore
+
+
+def _checkpoint_parallel(dfs) -> list:
+    """``localCheckpoint(eager=False)`` under AQE still EXECUTES every
+    upstream query stage at CALL time (toRdd materializes the stages), so
+    checkpointing several independent subtrees in sequence serializes
+    their execution. Issue the checkpoint calls from concurrent driver
+    threads instead — Spark schedules the jobs in parallel and the
+    per-stage materialization latency overlaps. Inputs must not depend on
+    each other (shared ancestors should already be checkpointed)."""
     from concurrent.futures import ThreadPoolExecutor
 
-    for group in phases:
-        if len(group) == 1:
-            group[0].count()
-            continue
-        with ThreadPoolExecutor(max_workers=len(group)) as ex:
-            list(ex.map(lambda d: d.count(), group))
+    if len(dfs) == 1:
+        return [dfs[0].localCheckpoint(eager=False)]
+    with ThreadPoolExecutor(max_workers=len(dfs)) as ex:
+        return list(ex.map(lambda d: d.localCheckpoint(eager=False), dfs))
 
 
-def _seed_round(spark, cfg, fetched, ok, tokens) -> dict:
+def _seed_round(spark, cfg, tokens, ok_tokens) -> dict:
     """Per-company branch logic of round 0 (``Crawler.fs:326-379``)."""
     # each of these subtrees feeds bag + flags + frontier_next — checkpoint
-    # so the three commit writes don't recompute the window chains
-    mailto = X.mailto_emails(tokens).localCheckpoint(eager=False)
-    emails0 = X.regex_emails(tokens).localCheckpoint(eager=False)
-
-    # error / empty-html companies → (true, true, false)
-    bad = fetched.filter(
-        ~F.col("fetch_ok")
-        | F.col("html").isNull()
-        | (F.length(F.trim(F.col("html").cast("string"))) == 0)
-    ).select("company_id")
-
-    data_link = X.contact_anchor_links(tokens).localCheckpoint(eager=False)  # priority 1
-    # contact-like hrefs (F8 ∘ F4) — only for companies with NO dataLink
-    href_cand = X.href_candidates(tokens)
+    # so the three commit writes don't recompute the window chains. The
+    # checkpoint CALLS execute under AQE, so independent subtrees are
+    # checkpointed from concurrent threads (tokens, their shared ancestor,
+    # is already checkpointed by the caller).
+    _mark("seed: plans built (tokens checkpoint executed)")
+    # contact-like hrefs (F8 ∘ F4): the expensive admission chain is
+    # independent of data_link, so it checkpoints in the SAME parallel
+    # group; the cheap per-company anti-join ("only companies with no
+    # contact ANCHOR expand via hrefs", Crawler.fs:357-358) stays lazy on
+    # top of the two checkpoints.
+    href_cand = X.href_candidates(ok_tokens)
     admitted = admission_mod.admit_frontier(
         href_cand, scope_cols=("company_id", "page_url")
     )
-    contact_hrefs = admitted.filter(F.col("is_contact"))
+    mailto, emails0, data_link, contact_all = _checkpoint_parallel(
+        [
+            X.mailto_emails(ok_tokens),
+            X.regex_emails(ok_tokens),
+            X.contact_anchor_links(ok_tokens),  # priority 1
+            admitted.filter(F.col("is_contact")),
+        ]
+    )
+    _mark("seed: mailto/emails/anchors/F8-chain checkpointed (parallel)")
+
+    # error / empty-html companies → (true, true, false); the
+    # IsNullOrWhiteSpace gate lives in has_html (extract_tokens_meta)
+    bad = tokens.filter(~F.col("fetch_ok") | ~F.col("has_html")).select("company_id")
 
     dl_companies = data_link.select("company_id").distinct()
-    contact_hrefs = contact_hrefs.join(
-        dl_companies, "company_id", "left_anti"
-    ).localCheckpoint(eager=False)
-
-    # AQE under local mode materializes query stages serially; the five
-    # subtrees (tokens already queued, mailto, emails0, data_link,
-    # contact_hrefs) are independent, so force their materialization from
-    # concurrent driver threads — Spark schedules the jobs in parallel and
-    # the fixed per-stage latency overlaps instead of adding up.
-    _materialize_parallel(
-        [[tokens], [mailto, emails0, data_link], [contact_hrefs]]
-    )
+    contact_hrefs = contact_all.join(dl_companies, "company_id", "left_anti")
 
     # per-company stats in ONE shuffle: tag-union the five company streams
     # and pivot by tag in a single aggregation (was: five separate
@@ -360,7 +393,7 @@ def _seed_round(spark, cfg, fetched, ok, tokens) -> dict:
         F.max(F.col("__t") == "c").alias("__ch"),
     )
     stats = (
-        fetched.select("company_id")
+        tokens.select("company_id")
         .distinct()
         .join(counts, "company_id", "left")
         .fillna(0, ["n_mailto", "n_emails"])
@@ -383,7 +416,7 @@ def _seed_round(spark, cfg, fetched, ok, tokens) -> dict:
     # frontier expansion blocked for mailto>1 companies (Crawler.fs:343-344)
     expandable = stats.filter(F.col("n_mailto") <= 1).select("company_id")
 
-    base_urls = ok.select("company_id", "base_url").distinct()
+    base_urls = ok_tokens.select("company_id", "base_url").distinct()
     fr_dl = (
         data_link.join(expandable, "company_id")
         .join(base_urls, "company_id")

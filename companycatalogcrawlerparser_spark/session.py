@@ -38,6 +38,11 @@ def get_spark(
         # regex-heavy window stages to half the cores; 16 MB keeps CPU-bound
         # stages wide while still batching tiny rounds
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        # NB input-split sizing for the heavy corpus scan is tuned at
+        # runtime by plans.crawl (html compresses ~30:1, so the 128 MB
+        # default can starve the scan+extract stage of tasks) — the
+        # session keeps Spark's defaults so small auxiliary scans don't
+        # fragment into per-file tasks
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # pages are heavy rows (10-100 KB html each): the default 10k-row
         # Arrow batch would put GBs in every Python worker — cap it so a
@@ -45,6 +50,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # regex extraction allocates transient String copies of each page;
+        # ParallelGC handles that allocation profile at least as well as G1
+        # in the local-mode shared heap (measured: within run noise either
+        # way — the sandbox's sys/steal overhead dominates, see
+        # BENCH/BASELINE.md controls)
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GC_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
