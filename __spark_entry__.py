@@ -704,7 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _crawl_harness_queries():
     from companycatalogcrawlerparser_spark import harness as _H
 
-    return _H.CRAWL_QUERIES
+    return {**_H.CRAWL_QUERIES, "robots_gate": _H.q_robots_gate}
 
 
 def _crawl_harness_oracle_sql():
@@ -713,6 +713,7 @@ def _crawl_harness_oracle_sql():
     out = _H.crawl_oracle_sql()
     out["ann_lsh"] = _H.ann_lsh_oracle_sql()
     out["s7_template_scan"] = _H.s7_oracle_sql()
+    out["robots_gate"] = _H.robots_oracle_sql()
     return out
 
 

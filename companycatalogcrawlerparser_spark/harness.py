@@ -676,3 +676,63 @@ def s7_oracle_sql() -> str:
         f"SELECT file_name, CAST(n_bytes AS BIGINT) AS n_bytes "
         f"FROM (VALUES {values}) AS t(file_name, n_bytes)"
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt gating (north_rule) — engine gate vs pure-Python RFC 9309 oracle
+
+ROBOTS_FIXTURES = {
+    "firm-a.ru": (
+        "User-agent: *\nDisallow: /private/\nDisallow: /*.pdf$\n"
+        "Allow: /private/ok/\nCrawl-delay: 2\n\n"
+        "User-agent: evilbot\nDisallow: /\n"
+    ),
+    "firm-b.ru": (
+        "User-agent: ccc-spark\nDisallow: /contact\nAllow: /contacts-open/\n"
+    ),
+}
+
+ROBOTS_URLS = [
+    "http://firm-a.ru/public/x", "http://firm-a.ru/private/x",
+    "http://firm-a.ru/private/ok/x", "http://firm-a.ru/doc.pdf",
+    "http://firm-a.ru/doc.pdfx", "http://firm-a.ru/private/ok",
+    "http://firm-a.ru", "http://firm-a.ru/a?b=/private/",
+    "http://firm-b.ru/contact.html", "http://firm-b.ru/contacts-open/x",
+    "http://firm-b.ru/CONTACT", "http://firm-c.ru/anything",
+]
+
+
+def q_robots_gate(spark, sf_dir) -> DataFrame:
+    from .operators import robots as RB
+
+    pages = spark.createDataFrame(
+        [
+            (f"http://{h}/robots.txt", bytearray(t.encode()))
+            for h, t in ROBOTS_FIXTURES.items()
+        ],
+        "url string, html binary",
+    )
+    rules = RB.robots_rules(pages, agent="ccc-spark")
+    frontier = spark.createDataFrame([(u,) for u in ROBOTS_URLS], ["url"])
+    return RB.gate_frontier(frontier, rules, keep_denied=True).select(
+        "url", "robots_allowed"
+    )
+
+
+def robots_oracle_sql() -> str:
+    from .refsem.robots import RobotsOracle
+
+    oracle = RobotsOracle(ROBOTS_FIXTURES, agent="ccc-spark")
+    d = oracle_dir()
+    rows = []
+    for u in ROBOTS_URLS:
+        host = u.split("//")[1].split("/")[0]
+        rows.append((u, oracle.allowed(host, u)))
+    _write(d, "robots_gate", {
+        "url": [r[0] for r in rows],
+        "robots_allowed": [r[1] for r in rows],
+    })
+    return (
+        f"SELECT url, robots_allowed FROM "
+        f"read_parquet('{os.path.join(d, 'robots_gate.parquet')}')"
+    )

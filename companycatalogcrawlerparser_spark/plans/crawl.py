@@ -38,6 +38,7 @@ from ..functions.predicates import (
 )
 from ..operators import extract as X
 from ..operators import frontier as FR
+from ..operators import robots as RB
 from ..operators.urlseen import UrlSeen, seen_key
 from ..sources.pages import fetch_join, redirect_map
 from ..storage.snapshots import SnapshotStore
@@ -69,6 +70,10 @@ class CrawlConfig:
     use_bloom: bool = True
     collect_counters: bool = True  # manifest counters cost extra actions;
     #                                bench runs disable them
+    respect_robots: bool = True  # robots.txt gating + Crawl-delay
+    #   politeness (north_rule); no-op when the corpus carries no
+    #   robots.txt rows, so reference-parity corpora are unaffected
+    robots_agent: str = "ccc-spark"
     native_extract: bool = True  # JVM regex extraction (no Arrow/Python
     #   transfer of html); False = Arrow UDTF sharing the refsem regexes.
     #   Both are oracle-verified; native is ~2x crawl throughput
@@ -121,6 +126,21 @@ def run_crawl(
     # (small: the 3xx subset), reuse across rounds
     _mark("run_crawl entered")
     restore_split = _tune_input_splits(spark, pages)
+
+    # robots rules parsed ONCE per run from the corpus's own robots.txt
+    # rows ("the corpus is the web"); empty → gating short-circuits so the
+    # reference-parity corpora pay one pruned scan, nothing more. Denied
+    # URLs are dropped BEFORE scheduling/fetching: no trace row, no
+    # url_seen entry (they were never attempted).
+    robots_rules_df = None
+    robots_politeness = None
+    if cfg.respect_robots and start_round < cfg.max_depth:
+        rr = RB.robots_rules(pages, agent=cfg.robots_agent).cache()
+        if not rr.isEmpty():
+            robots_rules_df = rr
+            delays = RB.crawl_delays(rr)
+            robots_politeness = delays if not delays.isEmpty() else None
+    _mark("robots rules built")
     rmap = redirect_map(pages).cache() if start_round < cfg.max_depth else None
     _mark("redirect_map built (lazy+cache)")
 
@@ -176,8 +196,17 @@ def run_crawl(
                 (F.col("url") != "") & is_not_image_script_css_ext(F.col("url"))
             )
 
-        # politeness stamps over full host, then salted spread (W2/C2/C3)
-        sched = FR.schedule(frontier, default_delay_ms=cfg.delay_ms)
+        # robots gate (north_rule): drop disallowed URLs pre-schedule
+        if robots_rules_df is not None:
+            frontier = RB.gate_frontier(frontier, robots_rules_df)
+
+        # politeness stamps over full host, then salted spread (W2/C2/C3);
+        # per-host Crawl-delay rows override the default budget
+        sched = FR.schedule(
+            frontier,
+            politeness=robots_politeness,
+            default_delay_ms=cfg.delay_ms,
+        )
         sched = FR.salted(sched, cfg.num_partitions)
 
         _mark(f"round {round_id} plan: frontier+schedule built")

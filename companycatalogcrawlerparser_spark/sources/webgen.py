@@ -495,3 +495,13 @@ def encoding_probe_pages():
         ("http://enc.test/p5", "<html><head><title>no meta</title></head><body>x</body></html>"),
         ("http://enc.test/p6", '<html><head><meta name="viewport" charset="decoy"></head><body>x</body></html>'),
     ]
+
+
+def robots_txt(agent: str = "*", disallow=(), allow=(), crawl_delay_s=None) -> str:
+    """robots.txt fixture builder (north_rule gating tests)."""
+    lines = [f"User-agent: {agent}"]
+    lines += [f"Disallow: {p}" for p in disallow]
+    lines += [f"Allow: {p}" for p in allow]
+    if crawl_delay_s is not None:
+        lines.append(f"Crawl-delay: {crawl_delay_s}")
+    return "\n".join(lines) + "\n"
