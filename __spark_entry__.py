@@ -704,7 +704,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _crawl_harness_queries():
     from companycatalogcrawlerparser_spark import harness as _H
 
-    return {**_H.CRAWL_QUERIES, "robots_gate": _H.q_robots_gate}
+    return {
+        **_H.CRAWL_QUERIES,
+        "robots_gate": _H.q_robots_gate,
+        "h_categories_nested": _H.q_h_categories_nested,
+    }
 
 
 def _crawl_harness_oracle_sql():
@@ -714,6 +718,7 @@ def _crawl_harness_oracle_sql():
     out["ann_lsh"] = _H.ann_lsh_oracle_sql()
     out["s7_template_scan"] = _H.s7_oracle_sql()
     out["robots_gate"] = _H.robots_oracle_sql()
+    out["h_categories_nested"] = _H.h_categories_nested_oracle_sql()
     return out
 
 

@@ -736,3 +736,63 @@ def robots_oracle_sql() -> str:
         f"SELECT url, robots_allowed FROM "
         f"read_parquet('{os.path.join(d, 'robots_gate.parquet')}')"
     )
+
+
+# ---------------------------------------------------------------------------
+# H2/H3 nested category loads — two-round Spark plan vs refsem walk w/ fetch
+
+def _nested_fixture(layout):
+    if layout == "jsprav":
+        base = "http://jsprav.test"
+        cat = webgen.jsprav_catalog_page()
+        subs = {f"{base}/cat/uslugi/all/": webgen.jsprav_showall_page()}
+    else:
+        base = "http://spravker.test"
+        cat = webgen.spravker_catalog_page()
+        subs = {f"{base}/cats/avto/": webgen.spravker_subcats_page()}
+    return base, cat, subs
+
+
+def q_h_categories_nested(spark, sf_dir) -> DataFrame:
+    parts = []
+    for layout in ("jsprav", "spravker"):
+        base, cat, subs = _nested_fixture(layout)
+        rows = [(f"{base}/", bytearray(cat.encode()))] + [
+            (u, bytearray(h.encode())) for u, h in subs.items()
+        ]
+        corpus = spark.createDataFrame(rows, "url string, html binary")
+        page1 = spark.createDataFrame(
+            [(f"{base}/", bytearray(cat.encode()))], "url string, html binary"
+        )
+        parts.append(
+            CAT.extract_categories_nested(page1, corpus, layout, base_url=base).select(
+                F.lit(layout).alias("layout"), "category_id", "name",
+                "parent_id", "href", "city_code",
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+def h_categories_nested_oracle_sql() -> str:
+    d = oracle_dir()
+    rows = []
+    for layout in ("jsprav", "spravker"):
+        base, cat, subs = _nested_fixture(layout)
+        lookup = {u: RH.parse_html(h) for u, h in subs.items()}
+        fetch = lookup.get
+        doc = RH.parse_html(cat)
+        recs = (
+            RH.get_nov_category_links(doc, base, "77", fetch=fetch)
+            if layout == "jsprav"
+            else RH.get_category_links(doc, base, "77", fetch=fetch)
+        )
+        rows += [(layout, *r) for r in recs]
+    _write(d, "categories_nested", {
+        "layout": [r[0] for r in rows], "category_id": [r[1] for r in rows],
+        "name": [r[2] for r in rows], "parent_id": [r[3] for r in rows],
+        "href": [r[4] for r in rows], "city_code": [r[5] for r in rows],
+    })
+    return (
+        "SELECT layout, category_id, name, parent_id, href, city_code "
+        f"FROM read_parquet('{os.path.join(d, 'categories_nested.parquet')}')"
+    )

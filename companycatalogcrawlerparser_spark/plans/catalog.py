@@ -102,6 +102,123 @@ def extract_companies(pages: DataFrame, layout: str) -> DataFrame:
     )
 
 
+NESTED_URL_SCHEMA = "url string, nested_url string"
+
+
+def _nested_url_collector(layout: str, base_url: str, city_code: str):
+    """Run the refsem walk with a fetch callback that RECORDS the nested
+    URLs and returns None (the walk treats None as fetch-failure and
+    continues) — exactly the URLs HtmlParsing.fs:68/103 would load."""
+    from ..refsem import htmlparse as H
+
+    def collect(doc):
+        urls: list = []
+
+        def fetch(u):
+            urls.append(u)
+            return None
+
+        if layout == "jsprav":
+            H.get_nov_category_links(doc, base_url, city_code, fetch=fetch)
+        elif layout == "spravker":
+            H.get_category_links(doc, base_url, city_code, fetch=fetch)
+        return urls
+
+    return collect
+
+
+def nested_category_urls(
+    pages: DataFrame, layout: str, base_url: str = "", city_code: str = "77"
+) -> DataFrame:
+    """Round A of the nested-fetch protocol: (url, nested_url) pairs —
+    the show_all / subcats pages each category page wants loaded."""
+    import pandas as pd
+
+    def run(batches):
+        from ..refsem import htmlparse as H
+
+        collect = _nested_url_collector(layout, base_url, city_code)
+        for b in batches:
+            rows = []
+            for url, html in zip(b["url"], b["html"]):
+                if html is None:
+                    continue
+                doc = H.parse_html(bytes(html).decode("utf-8", errors="replace"))
+                for nu in collect(doc):
+                    rows.append((url, nu))
+            yield pd.DataFrame(rows, columns=["url", "nested_url"])
+
+    return pages.select("url", "html").mapInPandas(run, schema=NESTED_URL_SCHEMA)
+
+
+def extract_categories_nested(
+    pages: DataFrame,
+    corpus: DataFrame,
+    layout: str,
+    base_url: str = "",
+    city_code: str = "77",
+) -> DataFrame:
+    """H2/H3 WITH the reference's nested page loads (HtmlParsing.fs:68,103)
+    as a set-oriented two-round plan: round A lists each page's nested
+    URLs (above), ONE corpus join fetches them, the sub-pages ride back to
+    their parent as an array column, and round B re-runs the refsem walk
+    with ``fetch`` = lookup into that array — sequential id counters and
+    the in-list dedup on (Name, CityCode, ParentId, Href) come out
+    byte-exact because the walk IS the oracle code. The per-category
+    while-loop of the reference becomes two bulk fetch rounds."""
+    import pandas as pd
+
+    nested = nested_category_urls(pages, layout, base_url, city_code)
+    subs = (
+        nested.join(
+            corpus.select(F.col("url").alias("nested_url"), F.col("html").alias("sub_html")),
+            "nested_url",
+            "left",
+        )
+        .groupBy("url")
+        .agg(
+            F.collect_list(F.struct("nested_url", "sub_html")).alias("subpages")
+        )
+    )
+    enriched = pages.select("url", "html").join(subs, "url", "left")
+
+    def run(batches):
+        from ..refsem import htmlparse as H
+
+        for b in batches:
+            rows = []
+            for url, html, subpages in zip(b["url"], b["html"], b["subpages"]):
+                if html is None:
+                    continue
+                lookup = {}
+                if subpages is not None:
+                    for sp in subpages:
+                        nu, sh = sp["nested_url"], sp["sub_html"]
+                        if sh is not None:
+                            lookup[nu] = H.parse_html(
+                                bytes(sh).decode("utf-8", errors="replace")
+                            )
+
+                def fetch(u):
+                    return lookup.get(u)
+
+                doc = H.parse_html(bytes(html).decode("utf-8", errors="replace"))
+                if layout == "jsprav":
+                    recs = H.get_nov_category_links(doc, base_url, city_code, fetch=fetch)
+                elif layout == "spravker":
+                    recs = H.get_category_links(doc, base_url, city_code, fetch=fetch)
+                else:
+                    recs = H.get_div_row(doc)
+                for rid, name, parent, href, cc in recs:
+                    rows.append((url, rid, name, parent, href, cc))
+            yield pd.DataFrame(
+                rows,
+                columns=["page_url", "category_id", "name", "parent_id", "href", "city_code"],
+            )
+
+    return enriched.mapInPandas(run, schema=CATEGORY_SCHEMA)
+
+
 def extract_page_counts(pages: DataFrame, tag: str = "div") -> DataFrame:
     """A4/H8 — pagination max per listing page 1."""
     import pandas as pd

@@ -505,3 +505,30 @@ def robots_txt(agent: str = "*", disallow=(), allow=(), crawl_delay_s=None) -> s
     if crawl_delay_s is not None:
         lines.append(f"Crawl-delay: {crawl_delay_s}")
     return "\n".join(lines) + "\n"
+
+
+def jsprav_showall_page() -> str:
+    """H2 nested show_all target — ``div.cat-item`` links; 'Ремонт' with
+    the same (name, city_code, parent, href) as an already-listed leaf
+    exercises the reference's in-list dedup (HtmlParsing.fs:72-81)."""
+    return (
+        "<html><body>"
+        '<div class="cat-item"><a href="/cat/remont/">Ремонт</a></div>'
+        '<div class="cat-item"><a href="/cat/santehnika/">Сантехника</a></div>'
+        '<div class="cat-item"><a href="/cat/elektrika/">Электрика</a></div>'
+        '<div class="other"><a href="/decoy/">декой</a></div>'
+        "</body></html>"
+    )
+
+
+def spravker_subcats_page() -> str:
+    """H3 nested target — ``div.subcats`` anchors (HtmlParsing.fs:103-117)."""
+    return (
+        "<html><body>"
+        '<div class="subcats">'
+        '<a href="/cats/avto/moyka/">Мойка</a>'
+        '<a href="/cats/avto/servis/">Сервис</a>'
+        "</div>"
+        '<div class="plain"><a href="/x/">без</a></div>'
+        "</body></html>"
+    )

@@ -263,3 +263,66 @@ class TestTemplateScanS7:
         rows = {r["template_name"].split("/")[-1]: bytes(r["content"]) for r in df.collect()}
         assert set(rows) == {"a.msg", "b.msg"}
         assert rows["a.msg"].endswith(b"Body A")
+
+
+class TestNestedCategoryFetch:
+    """H2/H3 nested page loads (HtmlParsing.fs:68,103) as the two-round
+    Spark plan — ids, dedup, and ordering byte-exact vs the refsem walk
+    with a real fetch."""
+
+    def _corpus(self, spark, layout):
+        if layout == "jsprav":
+            cat = webgen.jsprav_catalog_page()
+            base = "http://jsprav.test"
+            subs = {"http://jsprav.test/cat/uslugi/all/": webgen.jsprav_showall_page()}
+        else:
+            cat = webgen.spravker_catalog_page()
+            base = "http://spravker.test"
+            subs = {
+                "http://spravker.test/cats/avto/": webgen.spravker_subcats_page(),
+                # stroika subcat page absent from corpus → fetch=None branch
+            }
+        rows = [(f"{base}/", bytearray(cat.encode()))]
+        rows += [(u, bytearray(h.encode())) for u, h in subs.items()]
+        corpus = spark.createDataFrame(rows, "url string, html binary")
+        page1 = spark.createDataFrame(
+            [(f"{base}/", bytearray(cat.encode()))], "url string, html binary"
+        )
+        return page1, corpus, base, cat, subs
+
+    def _oracle(self, layout, cat_html, base, subs):
+        lookup = {u: H.parse_html(h) for u, h in subs.items()}
+        fetch = lambda u: lookup.get(u)  # noqa: E731
+        doc = H.parse_html(cat_html)
+        if layout == "jsprav":
+            return H.get_nov_category_links(doc, base, "77", fetch=fetch)
+        return H.get_category_links(doc, base, "77", fetch=fetch)
+
+    def test_nested_parity_both_layouts(self, spark):
+        for layout in ("jsprav", "spravker"):
+            page1, corpus, base, cat, subs = self._corpus(spark, layout)
+            got = sorted(
+                (r["category_id"], r["name"], r["parent_id"], r["href"], r["city_code"])
+                for r in C.extract_categories_nested(
+                    page1, corpus, layout, base_url=base
+                ).collect()
+            )
+            expected = sorted(self._oracle(layout, cat, base, subs))
+            assert got == [tuple(e) for e in expected], layout
+            # the nested rows actually came through (more than fetch=None)
+            doc = H.parse_html(cat)
+            flat = (
+                H.get_nov_category_links(doc, base, "77", fetch=None)
+                if layout == "jsprav"
+                else H.get_category_links(doc, base, "77", fetch=None)
+            )
+            assert len(got) > len(flat), layout
+
+    def test_in_list_dedup_exercised(self, spark):
+        page1, corpus, base, cat, subs = self._corpus(spark, "jsprav")
+        rows = C.extract_categories_nested(page1, corpus, "jsprav", base_url=base).collect()
+        names = [r["name"] for r in rows]
+        # 'Ремонт' appears ONCE despite being both a listed leaf and a
+        # cat-item on the show_all page (in-list dedup, HtmlParsing.fs:72-81)
+        assert names.count("Ремонт") == 1
+        assert "Сантехника" in names and "Электрика" in names
