@@ -38,7 +38,7 @@ from pyspark.sql import types as T
 BLOOM_K = 7
 BLOOM_BITS_PER_KEY = 12  # ~0.3% false-positive rate at k=7
 
-BLOOM_TABLE_SCHEMA = "bucket long, m_bits long, bloom binary"
+BLOOM_TABLE_SCHEMA = "bucket long, m_bits long, bloom binary, kind string"
 
 EXACT_KEYS = ["scope", "canonical_url"]
 
@@ -80,14 +80,113 @@ def _bloom_probe(keys: np.ndarray, bloom: bytes, m_bits: int) -> np.ndarray:
     return hit.all(axis=1)
 
 
+# --------------------------------------------------------------------------
+# Cuckoo filter (north_star names "bloom/cuckoo"): 4-slot buckets of 16-bit
+# fingerprints, fully deterministic (no RNG — the kick victim cycles with
+# the kick counter), pure numpy. vs bloom: supports deletion (fingerprints
+# are locatable) and ~same space at 3% FP; probe checks exactly two buckets.
+
+CUCKOO_SLOTS = 4
+CUCKOO_MAX_KICKS = 500
+
+
+def _cuckoo_fp(keys: np.ndarray) -> np.ndarray:
+    """16-bit nonzero fingerprints from the 64-bit key (splitmix-mixed)."""
+    z = (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    fp = ((z >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+    fp[fp == 0] = 1  # 0 marks an empty slot
+    return fp
+
+
+def _cuckoo_alt(index: np.ndarray, fp: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Partial-key alternate bucket: i2 = i1 XOR hash(fp)  (mod 2^k)."""
+    h = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    return (index.astype(np.uint64) ^ h) % np.uint64(n_buckets)
+
+
+def _cuckoo_build(keys: np.ndarray, n_slots_buckets: int) -> bytes:
+    """Build a cuckoo table with ``n_slots_buckets`` buckets (power of two)
+    of CUCKOO_SLOTS uint16 fingerprints; returns the raw table bytes.
+    Raises if an insert exceeds MAX_KICKS (caller sizes ~1.3× load)."""
+    nb = n_slots_buckets
+    table = np.zeros((nb, CUCKOO_SLOTS), dtype=np.uint16)
+    fps = _cuckoo_fp(keys)
+    idx1 = (keys.astype(np.uint64) % np.uint64(nb)).astype(np.int64)
+    for fp, i1 in zip(fps, idx1):
+        fp = np.uint16(fp)
+        i = int(i1)
+        i2 = int(_cuckoo_alt(np.array([i], dtype=np.uint64), np.array([fp]), nb)[0])
+        placed = False
+        for b in (i, i2):
+            row = table[b]
+            empty = np.where(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                placed = True
+                break
+        if placed:
+            continue
+        # deterministic kicking: victim slot cycles with the kick counter
+        cur, cfp = i, fp
+        for kicks in range(CUCKOO_MAX_KICKS):
+            slot = kicks % CUCKOO_SLOTS
+            cfp, table[cur][slot] = table[cur][slot], cfp
+            cur = int(
+                _cuckoo_alt(np.array([cur], dtype=np.uint64), np.array([cfp]), nb)[0]
+            )
+            row = table[cur]
+            empty = np.where(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = cfp
+                break
+        else:
+            raise RuntimeError("cuckoo filter overflow — size the table up")
+    return table.tobytes()
+
+
+def _cuckoo_probe(keys: np.ndarray, table_bytes: bytes, n_slots_buckets: int) -> np.ndarray:
+    """True = maybe-seen; checks the two candidate buckets per key."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=bool)
+    nb = n_slots_buckets
+    table = np.frombuffer(table_bytes, dtype=np.uint16).reshape(nb, CUCKOO_SLOTS)
+    fps = _cuckoo_fp(keys)
+    i1 = (keys.astype(np.uint64) % np.uint64(nb)).astype(np.int64)
+    i2 = _cuckoo_alt(i1.astype(np.uint64), fps, nb).astype(np.int64)
+    hit1 = (table[i1] == fps[:, None]).any(axis=1)
+    hit2 = (table[i2] == fps[:, None]).any(axis=1)
+    return hit1 | hit2
+
+
+def _cuckoo_size_for(n: int) -> int:
+    """Power-of-two bucket count at ≤~80% load (insertions stay kick-safe)."""
+    need = max(16, int(n / (CUCKOO_SLOTS * 0.8)) + 1)
+    p = 1
+    while p < need:
+        p <<= 1
+    return p
+
+
 class UrlSeen:
-    """Handle over the url_seen table + its bucket blooms.
+    """Handle over the url_seen table + its bucket filters (bloom by
+    default, cuckoo via ``filter_kind="cuckoo"`` — deletable fingerprints,
+    two-bucket probes; both share the same exact-anti-join anchor).
 
     The table itself lives in the snapshot store (parquet); this class only
     defines the plan fragments.
     """
 
-    def __init__(self, spark, n_buckets: int = 64, driver_gate_bytes: int = 256 << 20):
+    def __init__(
+        self,
+        spark,
+        n_buckets: int = 64,
+        driver_gate_bytes: int = 256 << 20,
+        filter_kind: str = "bloom",
+    ):
+        if filter_kind not in ("bloom", "cuckoo"):
+            raise ValueError("filter_kind must be 'bloom' or 'cuckoo'")
         if n_buckets & (n_buckets - 1):
             # power of two keeps numpy's uint64 modulo consistent with
             # Spark's pmod on signed keys (2^64 % n == 0)
@@ -95,6 +194,7 @@ class UrlSeen:
         self.spark = spark
         self.n_buckets = n_buckets
         self.driver_gate_bytes = driver_gate_bytes
+        self.filter_kind = filter_kind
         self._blooms: Optional[Dict[int, Tuple[bytes, int]]] = None  # broadcast path
         self._blooms_df: Optional[DataFrame] = None                  # cogroup path
 
@@ -110,15 +210,22 @@ class UrlSeen:
         import pandas as pd
 
         bits_per_key = BLOOM_BITS_PER_KEY
+        kind = self.filter_kind
 
         def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
             keys = pdf["seen_key"].to_numpy(dtype=np.int64)
-            m_bits = max(1 << 14, int(len(keys)) * bits_per_key)
+            if kind == "cuckoo":
+                m = _cuckoo_size_for(len(keys))
+                data = _cuckoo_build(keys, m)
+            else:
+                m = max(1 << 14, int(len(keys)) * bits_per_key)
+                data = _bloom_build(keys, m)
             return pd.DataFrame(
                 {
                     "bucket": [int(pdf["bucket"].iloc[0])],
-                    "m_bits": [m_bits],
-                    "bloom": [_bloom_build(keys, m_bits)],
+                    "m_bits": [m],
+                    "bloom": [data],
+                    "kind": [kind],
                 }
             )
 
@@ -138,7 +245,12 @@ class UrlSeen:
         if total <= self.driver_gate_bytes:
             rows = blooms.collect()
             self._blooms = {
-                int(r["bucket"]): (bytes(r["bloom"]), int(r["m_bits"])) for r in rows
+                int(r["bucket"]): (
+                    bytes(r["bloom"]),
+                    int(r["m_bits"]),
+                    (r["kind"] if "kind" in blooms.columns else "bloom"),
+                )
+                for r in rows
             }
             self._blooms_df = None
             blooms.unpersist()
@@ -177,10 +289,15 @@ class UrlSeen:
                         mask = buckets == bucket
                         if entry is None:
                             continue  # empty bucket → all definitely new
-                        bloom, m_bits = entry
-                        maybe[mask] = _bloom_probe(
-                            keys[mask].astype(np.uint64), bloom, m_bits
-                        )
+                        data, m, kind = entry
+                        if kind == "cuckoo":
+                            maybe[mask] = _cuckoo_probe(
+                                keys[mask].astype(np.uint64), data, m
+                            )
+                        else:
+                            maybe[mask] = _bloom_probe(
+                                keys[mask].astype(np.uint64), data, m
+                            )
                     out = b.copy()
                     out["maybe_seen"] = maybe
                     yield out
@@ -201,12 +318,18 @@ class UrlSeen:
             if len(bloom_pdf) == 0:
                 maybe = np.zeros(len(out), dtype=bool)
             else:
-                bloom = bytes(bloom_pdf["bloom"].iloc[0])
-                m_bits = int(bloom_pdf["m_bits"].iloc[0])
-                maybe = _bloom_probe(
+                data = bytes(bloom_pdf["bloom"].iloc[0])
+                m = int(bloom_pdf["m_bits"].iloc[0])
+                kind = (
+                    bloom_pdf["kind"].iloc[0]
+                    if "kind" in bloom_pdf.columns
+                    else "bloom"
+                )
+                probe_fn = _cuckoo_probe if kind == "cuckoo" else _bloom_probe
+                maybe = probe_fn(
                     out["seen_key"].to_numpy(dtype=np.int64).astype(np.uint64),
-                    bloom,
-                    m_bits,
+                    data,
+                    m,
                 )
             out = out.copy()
             out["maybe_seen"] = maybe

@@ -66,8 +66,9 @@ class CrawlConfig:
     take_limit: int = 100000    # Program.fs:535
     delay_ms: int = 1000        # smallest reference Thread.Sleep
     num_partitions: int = 32
-    n_buckets: int = 64         # url_seen bloom buckets (power of two)
+    n_buckets: int = 64         # url_seen filter buckets (power of two)
     use_bloom: bool = True
+    url_seen_filter: str = "bloom"  # or "cuckoo" (deletable fingerprints)
     collect_counters: bool = True  # manifest counters cost extra actions;
     #                                bench runs disable them
     respect_robots: bool = True  # robots.txt gating + Crawl-delay
@@ -117,7 +118,7 @@ def run_crawl(
     emails, company_email, flags, trace, url_seen."""
     cfg = config or CrawlConfig()
     store = SnapshotStore(spark, out_dir)
-    useen = UrlSeen(spark, n_buckets=cfg.n_buckets)
+    useen = UrlSeen(spark, n_buckets=cfg.n_buckets, filter_kind=cfg.url_seen_filter)
 
     last = store.last_round()
     start_round = 0 if last is None else last + 1

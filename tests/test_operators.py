@@ -443,3 +443,41 @@ class TestStreaming:
         SE.run_available_now(dedup, out_dir, ckpt)
         got = spark.read.parquet(out_dir)
         assert got.count() == 2
+
+
+class TestCuckooFilter:
+    """url_seen's cuckoo variant (north_star: 'bloom/cuckoo filters')."""
+
+    def test_no_false_negatives_and_low_fp(self):
+        from companycatalogcrawlerparser_spark.operators.urlseen import (
+            _cuckoo_build, _cuckoo_probe, _cuckoo_size_for,
+        )
+
+        rng = np.random.default_rng(3)
+        keys = np.unique(rng.integers(-(2**62), 2**62, 5000, dtype=np.int64))
+        nb = _cuckoo_size_for(len(keys))
+        table = _cuckoo_build(keys, nb)
+        assert _cuckoo_probe(keys.astype(np.uint64), table, nb).all()
+        other = np.setdiff1d(
+            rng.integers(-(2**62), 2**62, 5000, dtype=np.int64), keys
+        )
+        fp = _cuckoo_probe(other.astype(np.uint64), table, nb).mean()
+        assert fp < 0.05, f"cuckoo fp too high: {fp}"
+
+    def test_filter_unseen_cuckoo_paths_exact(self, spark):
+        seen, cand, expected = TestBloom._seen_cand(spark)
+        us = UrlSeen(spark, n_buckets=16, filter_kind="cuckoo")
+        us.build_blooms(seen)
+        assert {r["url"] for r in us.filter_unseen(cand, seen).collect()} == expected
+        # distributed (cogroup) probe path
+        us2 = UrlSeen(spark, n_buckets=16, filter_kind="cuckoo", driver_gate_bytes=0)
+        us2.build_blooms(seen)
+        assert {r["url"] for r in us2.filter_unseen(cand, seen).collect()} == expected
+
+    def test_legacy_bloom_table_without_kind_column(self, spark):
+        """Snapshots committed before the kind column existed must load."""
+        seen, cand, expected = TestBloom._seen_cand(spark)
+        us = UrlSeen(spark, n_buckets=16)
+        legacy = us.bloom_table(seen).drop("kind")
+        us.set_blooms(legacy)
+        assert {r["url"] for r in us.filter_unseen(cand, seen).collect()} == expected
