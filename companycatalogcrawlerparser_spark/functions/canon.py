@@ -151,13 +151,28 @@ def translit_cyrillic_to_latin(col: Column) -> Column:
     """X6 ``translitCyrillicToLatin`` (``Utils.fs:51-66``) as a chained
     ``replace`` — safe because every source char is Cyrillic (or '-'/' ')
     and every output is ASCII, so replacements cannot cascade. Same 68-pair
-    map as the refsem oracle."""
+    map as the refsem oracle.
+
+    Divergence from the reference ON PURPOSE: the F# ``List.find`` raises
+    on an unmapped character (killing the whole run), while a chained
+    replace passes it through. Callers that synthesize URLs must gate on
+    :func:`translit_mappable` first so unmapped names are DROPPED (set
+    semantics) rather than mistranslated into a URL the reference could
+    never produce — see ``plans/catalog.synthesize_city_seeds``."""
     from ..refsem.strings import _TRANSLIT
 
     expr = col
     for src, dst in _TRANSLIT.items():
         expr = F.replace(expr, F.lit(src), F.lit(dst))
     return expr
+
+
+def translit_mappable(col: Column) -> Column:
+    """True iff every character of ``col`` is in the X6 translit domain
+    (Cyrillic letters, ``ё``/``Ё``, space, dash) — i.e. the reference's
+    ``List.find`` would succeed for every char. Rows failing this are the
+    ones the reference would CRASH on; the engine drops/flags them."""
+    return col.rlike(r"^[а-яА-ЯёЁ -]*$")
 
 
 # NOTE `[META|meta]` is a CHARACTER CLASS in the reference (quirk) —

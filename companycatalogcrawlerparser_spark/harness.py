@@ -319,14 +319,15 @@ def q_crawl_flags(spark, sf_dir) -> DataFrame:
     )
 
 
-def q_crawl_emails_dim(spark, sf_dir) -> DataFrame:
+def q_crawl_email_upsert(spark, sf_dir) -> DataFrame:
+    """K5 both surfaces in one row: the dense-id email dimension joined to
+    the M:N junction — verifies id assignment AND link maintenance."""
     res = _engine_crawl(spark)
-    return res["emails"].select("email_id", "email", "bad_ignore_email")
-
-
-def q_crawl_junction(spark, sf_dir) -> DataFrame:
-    res = _engine_crawl(spark)
-    return res["company_email"].select("company_id", "email_id")
+    dim = res["emails"].select("email_id", "email", "bad_ignore_email")
+    junction = res["company_email"].select("company_id", "email_id")
+    return junction.join(dim, "email_id").select(
+        "company_id", "email_id", "email", "bad_ignore_email"
+    )
 
 
 def q_f8_admission(spark, sf_dir) -> DataFrame:
@@ -339,14 +340,19 @@ def q_f8_admission(spark, sf_dir) -> DataFrame:
     )
 
 
-def q_x11_mailto(spark, sf_dir) -> DataFrame:
-    df = X.mailto_emails(_engine_tokens(spark))
-    return _ord_by_seq(df.select("page_url", "seq", "email"), ["page_url"], ["email"])
-
-
-def q_x10_regex_emails(spark, sf_dir) -> DataFrame:
-    df = X.regex_emails(_engine_tokens(spark))
-    return _ord_by_seq(df.select("page_url", "seq", "email"), ["page_url"], ["email"])
+def q_crawl_extract_emails(spark, sf_dir) -> DataFrame:
+    """X11 (mailto extraction) + X10 (email regex) in one labeled row —
+    ``ord`` stays per (kind, page_url), exactly each operator's own order."""
+    tokens = _engine_tokens(spark)
+    mailto = _ord_by_seq(
+        X.mailto_emails(tokens).select("page_url", "seq", "email"),
+        ["page_url"], ["email"],
+    ).select(F.lit("mailto").alias("kind"), "page_url", "ord", "email")
+    regexe = _ord_by_seq(
+        X.regex_emails(tokens).select("page_url", "seq", "email"),
+        ["page_url"], ["email"],
+    ).select(F.lit("regex").alias("kind"), "page_url", "ord", "email")
+    return mailto.unionByName(regexe)
 
 
 def q_h10_anchors(spark, sf_dir) -> DataFrame:
@@ -354,13 +360,33 @@ def q_h10_anchors(spark, sf_dir) -> DataFrame:
     return _ord_by_seq(df.select("page_url", "seq", "url"), ["page_url"], ["url"])
 
 
-def q_x9_encoding(spark, sf_dir) -> DataFrame:
+def q_x9_h8_probe(spark, sf_dir) -> DataFrame:
+    """X9 (charset sniff) + H8 (pagination max) in one labeled row; the
+    typed values are stringified for the shared column (hash still compares
+    every value)."""
     rows = [(u, h) for u, h in webgen.encoding_probe_pages()]
     df = spark.createDataFrame(rows, "page_url string, html string")
-    return df.select("page_url", sniff_encoding(F.col("html")).alias("encoding"))
+    x9 = df.select(
+        F.lit("x9").alias("kind"), "page_url",
+        sniff_encoding(F.col("html")).alias("value"),
+    )
+    prows = [
+        (f"http://bizly.test/cat{k}/",
+         bytearray(webgen.bizly_company_page(page=1, total_pages=k).encode()))
+        for k in (3, 4, 7)
+    ]
+    pages = spark.createDataFrame(prows, "url string, html binary")
+    h8 = CAT.extract_page_counts(pages).select(
+        F.lit("h8").alias("kind"), "page_url",
+        F.col("page_count").cast("string").alias("value"),
+    )
+    return x9.unionByName(h8)
 
 
 def q_h_categories(spark, sf_dir) -> DataFrame:
+    """H1/H2/H3 flat extraction over the three layouts PLUS the H2/H3
+    nested (show_all / subcats) two-round loads — nested rows carry a
+    ``<layout>_nested`` label."""
     parts = []
     for layout, cat_html, _ in _layout_fixtures():
         pages = spark.createDataFrame(
@@ -371,6 +397,21 @@ def q_h_categories(spark, sf_dir) -> DataFrame:
             CAT.extract_categories(pages, layout).select(
                 F.lit(layout).alias("layout"), "category_id", "name",
                 "parent_id", "href", "city_code",
+            )
+        )
+    for layout in ("jsprav", "spravker"):
+        base, cat, subs = _nested_fixture(layout)
+        rows = [(f"{base}/", bytearray(cat.encode()))] + [
+            (u, bytearray(h.encode())) for u, h in subs.items()
+        ]
+        corpus_df = spark.createDataFrame(rows, "url string, html binary")
+        page1 = spark.createDataFrame(
+            [(f"{base}/", bytearray(cat.encode()))], "url string, html binary"
+        )
+        parts.append(
+            CAT.extract_categories_nested(page1, corpus_df, layout, base_url=base).select(
+                F.lit(f"{layout}_nested").alias("layout"), "category_id",
+                "name", "parent_id", "href", "city_code",
             )
         )
     out = parts[0]
@@ -420,35 +461,20 @@ def q_seed_synth(spark, sf_dir) -> DataFrame:
     return CAT.synthesize_city_seeds(cities, dim, reach)
 
 
-def q_h8_pagenum(spark, sf_dir) -> DataFrame:
-    rows = [
-        (f"http://bizly.test/cat{k}/",
-         bytearray(webgen.bizly_company_page(page=1, total_pages=k).encode()))
-        for k in (3, 4, 7)
-    ]
-    pages = spark.createDataFrame(rows, "url string, html binary")
-    return CAT.extract_page_counts(pages).select(
-        "page_url", F.col("page_count").cast("long").alias("page_count")
-    )
-
-
 CRAWL_QUERIES = {
     "crawl_trace": q_crawl_trace,
     "crawl_url_seen": q_crawl_url_seen,
     "crawl_email_pairs": q_crawl_email_pairs,
     "crawl_flags": q_crawl_flags,
-    "crawl_emails_dim": q_crawl_emails_dim,
-    "crawl_junction": q_crawl_junction,
+    "crawl_email_upsert": q_crawl_email_upsert,
     "f8_admission": q_f8_admission,
-    "x11_mailto": q_x11_mailto,
-    "x10_regex_emails": q_x10_regex_emails,
+    "crawl_extract_emails": q_crawl_extract_emails,
     "h10_anchors": q_h10_anchors,
-    "x9_encoding": q_x9_encoding,
+    "x9_h8_probe": q_x9_h8_probe,
     "h_categories": q_h_categories,
     "h_companies": q_h_companies,
     "h7_cities": q_h7_cities,
     "seed_synth": q_seed_synth,
-    "h8_pagenum": q_h8_pagenum,
 }
 
 
@@ -462,34 +488,40 @@ def crawl_oracle_sql() -> dict:
     def rp(name: str) -> str:
         return f"read_parquet('{os.path.join(d, name + '.parquet')}')"
 
+    _write_nested_categories(d)
     return {
         "crawl_trace": f"SELECT company_id, priority, ord, url, action FROM {rp('trace')}",
         "crawl_url_seen": f"SELECT scope, canonical_url FROM {rp('url_seen')}",
         "crawl_email_pairs": f"SELECT company_id, email FROM {rp('email_pairs')}",
         "crawl_flags": f"SELECT company_id, bad_url, email_processed, email_finded FROM {rp('flags')}",
-        "crawl_emails_dim": f"""
+        "crawl_email_upsert": f"""
 WITH ids AS (
   SELECT row_number() OVER (ORDER BY email) AS email_id, email
   FROM (SELECT DISTINCT email FROM {rp('email_pairs')}))
-SELECT email_id, email, false AS bad_ignore_email FROM ids
-""",
-        "crawl_junction": f"""
-WITH ids AS (
-  SELECT row_number() OVER (ORDER BY email) AS email_id, email
-  FROM (SELECT DISTINCT email FROM {rp('email_pairs')}))
-SELECT DISTINCT p.company_id, i.email_id
+SELECT DISTINCT p.company_id, i.email_id, i.email, false AS bad_ignore_email
 FROM {rp('email_pairs')} p JOIN ids i USING (email)
 """,
         "f8_admission": f"SELECT page_url, ord, url, is_contact FROM {rp('admission')}",
-        "x11_mailto": f"SELECT page_url, ord, email FROM {rp('mailto')}",
-        "x10_regex_emails": f"SELECT page_url, ord, email FROM {rp('regex_emails')}",
+        "crawl_extract_emails": f"""
+SELECT 'mailto' AS kind, page_url, ord, email FROM {rp('mailto')}
+UNION ALL
+SELECT 'regex' AS kind, page_url, ord, email FROM {rp('regex_emails')}
+""",
         "h10_anchors": f"SELECT page_url, ord, url FROM {rp('anchors')}",
-        "x9_encoding": f"SELECT page_url, encoding FROM {rp('encoding')}",
-        "h_categories": f"SELECT layout, category_id, name, parent_id, href, city_code FROM {rp('categories')}",
+        "x9_h8_probe": f"""
+SELECT 'x9' AS kind, page_url, encoding AS value FROM {rp('encoding')}
+UNION ALL
+SELECT 'h8' AS kind, page_url, CAST(page_count AS VARCHAR) AS value FROM {rp('pagenum')}
+""",
+        "h_categories": f"""
+SELECT layout, category_id, name, parent_id, href, city_code FROM {rp('categories')}
+UNION ALL
+SELECT layout || '_nested' AS layout, category_id, name, parent_id, href, city_code
+FROM {rp('categories_nested')}
+""",
         "h_companies": f"SELECT layout, company_seq, category_id, name, address, phone, timework, site_url FROM {rp('companies')}",
         "h7_cities": f"SELECT seq, name, subordination, code, region FROM {rp('h7_cities')}",
         "seed_synth": f"SELECT url, city_code FROM {rp('seed_synth')}",
-        "h8_pagenum": f"SELECT page_url, page_count FROM {rp('pagenum')}",
     }
 
 
@@ -753,28 +785,11 @@ def _nested_fixture(layout):
     return base, cat, subs
 
 
-def q_h_categories_nested(spark, sf_dir) -> DataFrame:
-    parts = []
-    for layout in ("jsprav", "spravker"):
-        base, cat, subs = _nested_fixture(layout)
-        rows = [(f"{base}/", bytearray(cat.encode()))] + [
-            (u, bytearray(h.encode())) for u, h in subs.items()
-        ]
-        corpus = spark.createDataFrame(rows, "url string, html binary")
-        page1 = spark.createDataFrame(
-            [(f"{base}/", bytearray(cat.encode()))], "url string, html binary"
-        )
-        parts.append(
-            CAT.extract_categories_nested(page1, corpus, layout, base_url=base).select(
-                F.lit(layout).alias("layout"), "category_id", "name",
-                "parent_id", "href", "city_code",
-            )
-        )
-    return parts[0].unionByName(parts[1])
-
-
-def h_categories_nested_oracle_sql() -> str:
-    d = oracle_dir()
+def _write_nested_categories(d: str) -> None:
+    """Pure-Python H2/H3 nested-load oracle (refsem walk with a fetch
+    callback), written as parquet for the folded h_categories twin."""
+    if os.path.exists(os.path.join(d, "categories_nested.parquet")):
+        return
     rows = []
     for layout in ("jsprav", "spravker"):
         base, cat, subs = _nested_fixture(layout)
@@ -792,7 +807,3 @@ def h_categories_nested_oracle_sql() -> str:
         "name": [r[2] for r in rows], "parent_id": [r[3] for r in rows],
         "href": [r[4] for r in rows], "city_code": [r[5] for r in rows],
     })
-    return (
-        "SELECT layout, category_id, name, parent_id, href, city_code "
-        f"FROM read_parquet('{os.path.join(d, 'categories_nested.parquet')}')"
-    )

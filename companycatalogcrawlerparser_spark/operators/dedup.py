@@ -94,7 +94,8 @@ def _lsh_banded(
 
 def minhash_lsh_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    k: int = 5, num_hashes: int = 12, bands: int = 4, max_bucket: int = 256,
+    k: int = 5, num_hashes: int = 12, bands: int = 4,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) that collide in ≥1 LSH band.
 
@@ -106,6 +107,12 @@ def minhash_lsh_pairs(
     cap is part of the operator contract (the DuckDB oracle twin applies
     the same predicate) and the skipped volume stays observable via
     :func:`lsh_oversized_buckets` — nothing is silently dropped.
+
+    Callers that need the exhaustive (round-1) behavior pass
+    ``max_bucket=None`` — the cap is opt-out, not hidden: pair recall in
+    hot buckets is traded for bounded task size, and any consumer of the
+    capped default should surface :func:`lsh_oversized_buckets` next to
+    its results (ADVICE r02 — truncation must be visible at call sites).
     """
     # checkpoint the banded signatures: three consumers below (window count
     # + both sides of the self-join) would otherwise recompute the shingle
@@ -117,12 +124,15 @@ def minhash_lsh_pairs(
     )
     # bucket-size gate as a WINDOW count: one shuffle on (band,key) over
     # the checkpointed rows, no extra join
-    bw = Window.partitionBy("band", "key")
-    capped = (
-        banded.withColumn("__n", F.count("*").over(bw))
-        .filter(F.col("__n") <= max_bucket)
-        .drop("__n")
-    )
+    if max_bucket is None:
+        capped = banded
+    else:
+        bw = Window.partitionBy("band", "key")
+        capped = (
+            banded.withColumn("__n", F.count("*").over(bw))
+            .filter(F.col("__n") <= max_bucket)
+            .drop("__n")
+        )
 
     a = capped.alias("a")
     b = capped.alias("b")
@@ -233,10 +243,27 @@ def simhash16(text) -> "F.Column":
 
 
 def simhash_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Docs sharing an identical 16-bit simhash (near-dup buckets)."""
+    """Docs sharing an identical 16-bit simhash (near-dup buckets).
+
+    Returns ``(simhash, n_docs, min_id)`` — a BOUNDED row per bucket. The
+    previous ``collect_list(ids)`` form put an entire bucket's membership
+    into one aggregation buffer, which is unbounded for a mega-cluster of
+    identical docs; consumers that need the membership join
+    :func:`simhash_members` (one row per doc — spills like any table)
+    against these group rows instead."""
     d = df.select(F.col(id_col), simhash16(F.col(text_col)).alias("simhash"))
     return (
         d.groupBy("simhash")
-        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("min_id"),
+        )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def simhash_members(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exploded membership table for :func:`simhash_groups`: one
+    ``(doc_id, simhash)`` row per doc — join on ``simhash`` to enumerate a
+    bucket without ever materializing it in a single aggregation buffer."""
+    return df.select(F.col(id_col), simhash16(F.col(text_col)).alias("simhash"))

@@ -78,11 +78,18 @@ def assign_dense_ids(
         acc += counts[pid]
     offsets_df = spark.createDataFrame(offsets, "__pid int, __off long")
     w = Window.partitionBy("__pid").orderBy(order_col)
-    return (
+    out = (
         ranged.join(F.broadcast(offsets_df), "__pid")
         .withColumn(id_col, (F.row_number().over(w) + F.col("__off")).cast("long"))
         .drop("__pid", "__off")
     )
+    # materialize the ids NOW (eager checkpoint), then release the pinned
+    # range partitioning — repeated callers (multi-round upsert loops) must
+    # not accumulate cached blocks (ADVICE r02). The checkpoint also makes
+    # the ids immune to recomputation-with-different-boundaries.
+    out = out.localCheckpoint(eager=True)
+    ranged.unpersist()
+    return out
 
 
 def upsert_emails(

@@ -79,13 +79,19 @@ def cosine_topk_bruteforce(
 # LSH (random hyperplane) ANN
 
 
-def _plane(plane_idx: int, dim: int):
-    """Deterministic ±1 hyperplane as an array literal: sign from md5."""
+def plane_signs(plane_idx: int, dim: int) -> list:
+    """Deterministic ±1 hyperplane coefficients: sign from md5 of
+    (plane, dim). Shared by the Spark expression and the DuckDB oracle
+    twin (which embeds these as literal arrays)."""
     signs = []
     for d in range(dim):
         h = hashlib.md5(f"plane{plane_idx}|dim{d}".encode()).hexdigest()
         signs.append(1.0 if int(h[0], 16) >= 8 else -1.0)
-    return F.array(*[F.lit(s) for s in signs])
+    return signs
+
+
+def _plane(plane_idx: int, dim: int):
+    return F.array(*[F.lit(s) for s in plane_signs(plane_idx, dim)])
 
 
 def lsh_signature(vec_col, num_planes: int, dim: int):
@@ -137,17 +143,53 @@ def cosine_topk_lsh(
     )
 
 
-def cosine_pairs(
-    df: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding",
-    num_planes: int = 6, dim: int | None = None,
-) -> DataFrame:
-    """Embedding near-dup pairs: LSH bucket → exact cosine ≥ threshold."""
+def planes_for_corpus(n_rows: int, target_bucket: int = 128) -> int:
+    """Plane count such that the EXPECTED bucket population n/2^planes stays
+    under ``target_bucket`` (uniform-bucket approximation) — more planes for
+    bigger corpora, floor of 6 so small inputs keep meaningful recall."""
+    import math
+
+    if n_rows <= target_bucket:
+        return 6
+    return max(6, math.ceil(math.log2(n_rows / target_bucket)))
+
+
+def _signatures(df: DataFrame, id_col: str, vec_col: str, num_planes, dim):
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    sig = df.select(
+    if num_planes is None:
+        num_planes = planes_for_corpus(df.count())
+    return df.select(
         F.col(id_col), F.col(vec_col),
         lsh_signature(F.col(vec_col), num_planes, dim).alias("sig"),
     )
+
+
+def cosine_pairs(
+    df: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding",
+    num_planes: int | None = 6, dim: int | None = None,
+    max_bucket: int | None = 1024,
+) -> DataFrame:
+    """Embedding near-dup pairs: LSH bucket → exact cosine ≥ threshold.
+
+    Skew guard (same contract as ``dedup.minhash_lsh_pairs``): a signature
+    bucket of D rows emits D·(D-1)/2 pairs inside ONE join task, so a hot
+    bucket (all-identical embeddings, or fixed planes on a corpus ≫ the
+    bucket count) goes quadratic. Buckets larger than ``max_bucket`` are
+    excluded from pair generation — they are de-facto exact-dup clusters
+    that ``dedup.exact_dedup`` should collapse first. Pass
+    ``max_bucket=None`` for the exhaustive (unguarded) behavior, and
+    ``num_planes=None`` to auto-scale the plane count to the corpus size
+    (:func:`planes_for_corpus`). The skipped volume stays observable via
+    :func:`cosine_oversized_buckets` — nothing is silently dropped."""
+    sig = _signatures(df, id_col, vec_col, num_planes, dim)
+    if max_bucket is not None:
+        bw = Window.partitionBy("sig")
+        sig = (
+            sig.withColumn("__n", F.count("*").over(bw))
+            .filter(F.col("__n") <= max_bucket)
+            .drop("__n")
+        )
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(
@@ -165,4 +207,19 @@ def cosine_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             "score",
         )
+    )
+
+
+def cosine_oversized_buckets(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    num_planes: int | None = 6, dim: int | None = None,
+    max_bucket: int | None = 1024,
+) -> DataFrame:
+    """(sig, n_rows) of buckets :func:`cosine_pairs` skipped under its
+    ``max_bucket`` cap — the no-silent-truncation audit surface."""
+    sig = _signatures(df, id_col, vec_col, num_planes, dim)
+    return (
+        sig.groupBy("sig")
+        .agg(F.count("*").alias("n_rows"))
+        .filter(F.col("n_rows") > (max_bucket if max_bucket is not None else 2**63 - 1))
     )

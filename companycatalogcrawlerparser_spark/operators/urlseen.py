@@ -240,8 +240,13 @@ class UrlSeen:
         from a snapshot). Collects to a broadcast dict only when the total
         filter payload fits under ``driver_gate_bytes``; otherwise keeps the
         DataFrame and probes via cogroup (fully distributed)."""
+        prev_df = getattr(self, "_blooms_df", None)
         blooms = blooms.persist()
         total = blooms.agg(F.sum(F.length("bloom")).alias("b")).first()["b"] or 0
+        if prev_df is not None and prev_df is not blooms:
+            # release the previous round's pinned filter blocks (ADVICE r02:
+            # repeated set_blooms calls must not accumulate cached blooms)
+            prev_df.unpersist()
         if total <= self.driver_gate_bytes:
             rows = blooms.collect()
             self._blooms = {

@@ -375,7 +375,7 @@ def synthesize_city_seeds(
     by NOT special-casing it. Returns (url, city_code)."""
     from pyspark.sql import Window
 
-    from ..functions.canon import translit_cyrillic_to_latin
+    from ..functions.canon import translit_cyrillic_to_latin, translit_mappable
 
     filtered = cities.filter(F.col("code") == table_code)
     # skip(1) |> take(n-2) over the FILTERED sequence in document order:
@@ -389,7 +389,11 @@ def synthesize_city_seeds(
         .filter((F.col("__r") >= 2) & (F.col("__r") <= F.col("__n") - 1))
         .drop("__r", "__n")
     )
-    urls = sliced.select(
+    # unmapped names (any char outside the X6 translit domain) are DROPPED:
+    # the reference's List.find would crash the whole run on them, so a
+    # mistranslated pass-through URL must never reach the seed list
+    # (functions/canon.translit_mappable docstring)
+    urls = sliced.filter(translit_mappable(F.col("name"))).select(
         F.col("name"),
         F.lower(
             F.concat(

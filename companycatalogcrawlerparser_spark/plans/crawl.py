@@ -351,6 +351,10 @@ def _tune_input_splits(spark, pages: DataFrame):
     def restore():
         if prev is not None:
             spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+        else:
+            # not explicitly set before: unset so the corpus-tuned split
+            # size doesn't leak into unrelated queries on this session
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
 
     return restore
 

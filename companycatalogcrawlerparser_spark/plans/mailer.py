@@ -10,7 +10,7 @@ DataFrame for whatever sink consumes it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.emails import mailer_fixups
@@ -47,14 +47,48 @@ def next_batch(
 ) -> DataFrame:
     """Ordered resumable batch: ``orderBy(email_id)`` scan, distinct on
     email text, ``email_id > watermark ∧ ¬bad_ignore_email``, take N,
-    address fixups. TakeOrderedAndProject — no global sort materializes."""
+    address fixups. TakeOrderedAndProject — no global sort materializes.
+
+    The distinct keeps the MINIMUM ``email_id`` row per email text — the
+    reference's ``distinctBy`` over the EmailId-sorted scan
+    (``ConsoleAppMailer/Program.fs:50`` after ``DbAccess.fs:21`` orderBy)
+    keeps the first occurrence, i.e. the smallest id. ``dropDuplicates``
+    would keep an arbitrary row per plan, silently shifting which ids the
+    watermark advances past; the window costs the same single shuffle."""
     wm = high_water_mark(state, "email_file_name", template_name)
+    first = Window.partitionBy("email").orderBy("email_id")
     return (
-        emails.dropDuplicates(["email"])
+        emails.withColumn("__rn", F.row_number().over(first))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
         .filter((F.col("email_id") > wm) & ~F.col("bad_ignore_email"))
         .orderBy("email_id")
         .limit(batch_size)
         .withColumn("send_address", mailer_fixups(F.col("email")))
+    )
+
+
+def send_groups(
+    batch: DataFrame, take: int = 60, chunk_size: int = 10
+) -> DataFrame:
+    """Send-side cc/bcc shaping — the reference chunks each template's
+    batch ``Seq.take 60 |> Seq.chunkBySize 10`` and assembles one mail per
+    chunk with the members as cc/bcc (``ConsoleAppMailer/Program.fs:
+    60-113,130-150``). Adds ``chunk_id`` (0-based chunk) and ``slot``
+    (0-based position inside the chunk) over the email_id order, keeping
+    only the first ``take`` rows. The last chunk may be short — exactly
+    ``chunkBySize``'s remainder behavior.
+
+    The global window is safe: the input is a :func:`next_batch` result,
+    bounded by ``batch_size`` (≤1000 rows) — a control-sized frame, not
+    corpus data."""
+    w = Window.orderBy("email_id")
+    return (
+        batch.withColumn("__rn", F.row_number().over(w) - 1)
+        .filter(F.col("__rn") < take)
+        .withColumn("chunk_id", (F.col("__rn") / chunk_size).cast("long"))
+        .withColumn("slot", (F.col("__rn") % chunk_size).cast("long"))
+        .drop("__rn")
     )
 
 

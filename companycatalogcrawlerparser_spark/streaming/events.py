@@ -81,6 +81,39 @@ def run_available_now(stream_df: DataFrame, out_path: str, checkpoint: str):
     return q
 
 
+def foreach_batch_merge(
+    stream_df: DataFrame,
+    store,
+    table: str,
+    checkpoint: str,
+    base_round: int = 0,
+):
+    """``foreachBatch`` writer committing each micro-batch through the
+    :class:`~..storage.snapshots.SnapshotStore` — the streaming twin of the
+    batch rounds' atomic commit (one manifest per micro-batch, counters
+    recorded in the same commit). ``round_id = base_round + batch_id`` so a
+    restarted stream (same checkpoint) re-commits a replayed batch to the
+    SAME round — the manifest rename is idempotent, giving exactly-once
+    table state on top of the sink's at-least-once replay."""
+
+    def _merge(batch_df: DataFrame, batch_id: int):
+        n = batch_df.count()
+        store.commit(
+            base_round + batch_id,
+            {table: batch_df},
+            counters={"rows": n, "batch_id": batch_id},
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_complete_to_memory(stream_df: DataFrame, name: str):
     """Complete-mode memory sink for windowed aggregates (tests/dashboards)."""
     q = (

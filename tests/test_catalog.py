@@ -153,6 +153,46 @@ class TestMailer:
         b2 = ML.next_batch(emails, state, "t.msg", batch_size=3).collect()
         assert [r["email_id"] for r in b2] == [4, 6, 7]  # 5 is bad-flagged
 
+    def test_next_batch_distinct_keeps_min_id(self, spark):
+        """distinctBy over the EmailId-sorted scan keeps the FIRST (min id)
+        row per email text (ConsoleAppMailer/Program.fs:50 after
+        DbAccess.fs:21) — never an arbitrary plan-dependent one."""
+        from companycatalogcrawlerparser_spark.plans import mailer as ML
+
+        emails = spark.createDataFrame(
+            [(7, "dup@mail.test", False), (2, "dup@mail.test", False),
+             (5, "dup@mail.test", False), (3, "solo@mail.test", False)],
+            "email_id long, email string, bad_ignore_email boolean",
+        )
+        state = spark.createDataFrame([], "email_file_name string, last_id long")
+        got = ML.next_batch(emails, state, "t.msg", batch_size=10).collect()
+        assert sorted(r["email_id"] for r in got) == [2, 3]  # min id kept
+
+    def test_send_groups_chunking(self, spark):
+        """cc/bcc shaping: take 60 |> chunkBySize 10 (Program.fs:130-150)."""
+        from companycatalogcrawlerparser_spark.plans import mailer as ML
+
+        batch = spark.createDataFrame(
+            [(i, f"u{i}@mail.test") for i in range(1, 76)],
+            "email_id long, email string",
+        )
+        rows = ML.send_groups(batch, take=60, chunk_size=10).collect()
+        assert len(rows) == 60  # take cap
+        by_chunk = {}
+        for r in rows:
+            by_chunk.setdefault(r["chunk_id"], []).append(r)
+        assert sorted(by_chunk) == list(range(6))
+        assert all(len(v) == 10 for v in by_chunk.values())
+        # ordering: chunk 0 holds the 10 smallest ids, slots follow id order
+        c0 = sorted(by_chunk[0], key=lambda r: r["slot"])
+        assert [r["email_id"] for r in c0] == list(range(1, 11))
+        # remainder behavior: take=25 → last chunk short
+        short = ML.send_groups(batch, take=25, chunk_size=10).collect()
+        sizes = {}
+        for r in short:
+            sizes[r["chunk_id"]] = sizes.get(r["chunk_id"], 0) + 1
+        assert sizes == {0: 10, 1: 10, 2: 5}
+
 
 class TestH7DimensionScrapes:
     """H7 — getCities / getCountryList / getRussionRegionList /

@@ -312,6 +312,32 @@ class TestSimilarity:
         pairs = {(r["id_a"], r["id_b"]) for r in SIM.cosine_pairs(df, 0.99).collect()}
         assert (1, 2) in pairs and (1, 3) not in pairs
 
+    def test_cosine_pairs_skew_cap(self, spark):
+        """Adversarial hot bucket: 10k IDENTICAL embeddings all hash to one
+        signature — uncapped that is ~50M pairs in ONE join task. The
+        max_bucket cap must keep the run fast and emit zero pairs from the
+        hot bucket, with the skipped bucket visible on the audit surface."""
+        import time as _time
+
+        n = 10_000
+        df = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.lit(1.0), F.lit(0.5), F.lit(0.25), F.lit(0.125)).alias("embedding"),
+        )
+        t0 = _time.monotonic()
+        pairs = SIM.cosine_pairs(df, 0.5, dim=4, max_bucket=256).count()
+        elapsed = _time.monotonic() - t0
+        assert pairs == 0
+        assert elapsed < 60  # uncapped this would be ~50M-pair quadratic
+        audit = SIM.cosine_oversized_buckets(df, dim=4, max_bucket=256).collect()
+        assert len(audit) == 1 and audit[0]["n_rows"] == n
+
+    def test_cosine_pairs_planes_scale_with_corpus(self):
+        assert SIM.planes_for_corpus(100) == 6
+        assert SIM.planes_for_corpus(128 * 64) == 6
+        assert SIM.planes_for_corpus(10**6) == 13
+        assert SIM.planes_for_corpus(10**10) > 20
+
 
 class TestTextQuality:
     def test_langid(self, spark):
@@ -395,6 +421,29 @@ class TestMultimodal:
         )
         assert len(groups) == 1 and list(groups[0]["ids"]) == [1, 2]
 
+    def test_image_features_similarity_integration(self, spark):
+        """Multimodal → similarity e2e plumbing (VERDICT r02 #7, codec-free
+        container): image_features' deterministic feature vectors feed
+        cosine_pairs directly — an identical image payload pair is the
+        top near-dup, and the LSH bucketing/cap machinery runs on the
+        multimodal-derived vectors unchanged."""
+        payload_a = b"X" * 512
+        payload_b = b"Y" * 512
+        rows = [
+            (1, "image", payload_a, "image/x-fake", 32, 32, None),
+            (2, "image", payload_a, "image/x-fake", 32, 32, None),  # dup of 1
+            (3, "image", payload_b, "image/x-fake", 32, 32, None),
+        ]
+        assets = spark.createDataFrame(rows, MM.ASSET_SCHEMA)
+        feats = MM.image_features(assets, fake=True, dim=8)
+        emb = feats.select(
+            F.col("asset_id").alias("vec_id"),
+            F.col("feature").alias("embedding"),
+        )
+        pairs = SIM.cosine_pairs(emb, threshold=0.999, dim=8, max_bucket=16)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (1, 2) in got and (1, 3) not in got and (2, 3) not in got
+
     def test_frame_sample_and_resize(self, spark):
         vids = MM.make_assets(spark, 4, "video")
         frames = MM.frame_sample(vids, every_ms=5000)
@@ -443,6 +492,46 @@ class TestStreaming:
         SE.run_available_now(dedup, out_dir, ckpt)
         got = spark.read.parquet(out_dir)
         assert got.count() == 2
+
+    def test_foreach_batch_merge_commits_manifests(self, spark, tmp_path):
+        """Two micro-batches (maxFilesPerTrigger=1 over two input files)
+        → two SnapshotStore manifests, one atomic commit per batch."""
+        from companycatalogcrawlerparser_spark.storage.snapshots import SnapshotStore
+        from companycatalogcrawlerparser_spark.streaming import events as SE
+        import datetime as dt
+
+        src = str(tmp_path / "merge_in")
+        base = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+        def rows(tag, n):
+            return [
+                (base + dt.timedelta(seconds=i), f"http://{tag}.ru/p{i}",
+                 f"{tag}.ru", i, True, 100 + i, 0)
+                for i in range(n)
+            ]
+
+        df1 = spark.createDataFrame(rows("a", 3), SE.FETCH_EVENT_SCHEMA)
+        df1.coalesce(1).write.mode("append").parquet(src)
+        df2 = spark.createDataFrame(rows("b", 4), SE.FETCH_EVENT_SCHEMA)
+        df2.coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(SE.FETCH_EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        store = SnapshotStore(spark, str(tmp_path / "snap"))
+        SE.foreach_batch_merge(stream, store, "fetch_events",
+                               str(tmp_path / "merge_ckpt"))
+        rounds = store.committed_rounds()
+        assert rounds == [0, 1]
+        total = sum(
+            store.read(r, "fetch_events").count() for r in rounds
+        )
+        assert total == 7
+        assert all(
+            store.manifest(r)["counters"]["rows"] > 0 for r in rounds
+        )
 
 
 class TestCuckooFilter:

@@ -13,6 +13,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import time  # noqa: E402
+
 import duckdb  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
@@ -45,9 +47,11 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    t_start = time.monotonic()
     for name, fn in qs.items():
         if only and not any(tok in name for tok in only.split(",")):
             continue
+        t_row = time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -88,9 +92,11 @@ def main():
             failures.append((name, f"VALUES diff {diff}"))
             print(f"FAIL {name}: values differ, first diffs {diff}")
             continue
-        print(f"OK   {name} ({len(srows)} rows)")
+        dt = time.monotonic() - t_row
+        print(f"OK   {name} ({len(srows)} rows) [{dt:.1f}s]")
 
-    print(f"\n{len(failures)} failures")
+    total = time.monotonic() - t_start
+    print(f"\n{len(failures)} failures in {total:.1f}s")
     spark.stop()
     sys.exit(1 if failures else 0)
 
