@@ -771,6 +771,73 @@ def robots_oracle_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# sitemap ingestion (engine-new) — two-round Spark plan vs refsem walk
+
+SITEMAP_FIXTURES = {
+    # plain urlset: entities, whitespace, lastmod, junk entries
+    "http://firm-a.ru/sitemap.xml": (
+        '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc> http://firm-a.ru/ </loc><lastmod>2025-01-02</lastmod></url>"
+        "<url><loc>http://firm-a.ru/contact?a=1&amp;b=2</loc></url>"
+        "<url><loc></loc></url>"
+        "<url><changefreq>daily</changefreq></url>"
+        "<url><loc>ftp://firm-a.ru/not-http</loc></url>"
+        "<URL><LOC>http://firm-a.ru/upper</LOC></URL>"
+        "</urlset>"
+    ),
+    # sitemapindex → two nested sitemaps, one missing from the corpus
+    "http://firm-b.ru/sitemap.xml": (
+        "<sitemapindex>"
+        "<sitemap><loc>http://firm-b.ru/sm/products.xml</loc></sitemap>"
+        "<sitemap><loc>http://firm-b.ru/sm/missing.xml</loc></sitemap>"
+        "<sitemap><loc>http://firm-b.ru/sm/news.xml</loc></sitemap>"
+        "</sitemapindex>"
+    ),
+    "http://firm-b.ru/sm/products.xml": (
+        "<urlset><url><loc>http://firm-b.ru/p/1</loc></url>"
+        "<url><loc>http://firm-b.ru/p/2</loc><lastmod> 2025-03-04 </lastmod></url></urlset>"
+    ),
+    "http://firm-b.ru/sm/news.xml": (
+        "<urlset><url><loc>http://firm-b.ru/news/&quot;q&quot;</loc></url></urlset>"
+    ),
+}
+
+SITEMAP_ROOTS = [
+    "http://firm-a.ru/sitemap.xml",
+    "http://firm-b.ru/sitemap.xml",
+    "http://firm-c.ru/sitemap.xml",  # not in corpus → no rows
+]
+
+
+def q_sitemap_ingest(spark, sf_dir) -> DataFrame:
+    from .operators import sitemap as SM
+
+    pages = spark.createDataFrame(
+        [(u, bytearray(x.encode())) for u, x in SITEMAP_FIXTURES.items()],
+        "url string, html binary",
+    )
+    roots = spark.createDataFrame([(u,) for u in SITEMAP_ROOTS], ["url"])
+    return SM.sitemap_urls(pages, roots)
+
+
+def sitemap_oracle_sql() -> str:
+    from .refsem import sitemap as RSM
+
+    d = oracle_dir()
+    rows = RSM.crawl_sitemaps(SITEMAP_FIXTURES, SITEMAP_ROOTS)
+    _write(d, "sitemap_ingest", {
+        "root_url": [r[0] for r in rows],
+        "ord": [r[1] for r in rows],
+        "url": [r[2] for r in rows],
+        "lastmod": [r[3] for r in rows],
+    })
+    return (
+        "SELECT root_url, ord, url, lastmod FROM "
+        f"read_parquet('{os.path.join(d, 'sitemap_ingest.parquet')}')"
+    )
+
+
+# ---------------------------------------------------------------------------
 # H2/H3 nested category loads — two-round Spark plan vs refsem walk w/ fetch
 
 def _nested_fixture(layout):

@@ -1,0 +1,132 @@
+"""Sitemap ingestion — set-oriented frontier feed (ENGINE-NEW).
+
+The reference has no sitemap support; at 10^10-URL scale sitemaps are the
+cheapest, site-sanctioned frontier feed. Semantics are pinned by the
+pure-Python oracle ``refsem/sitemap.py`` (sitemaps.org subset) and
+hash-verified by the driver harness (`sitemap_ingest` row).
+
+Spark-first shape (mirrors the H2/H3 nested-category plan): the
+"fetch" of a sitemap document is a JOIN against the pages corpus, and the
+``<sitemapindex>`` indirection becomes a SECOND join round — never a
+per-document loop:
+
+    roots ⋈ pages → round A documents
+    index docs → posexplode(nested locs) ⋈ pages → round B documents
+    urlset docs (A direct ∪ B nested) → posexplode(<url> blocks)
+      → (root_url, ord, url, lastmod)
+
+Everything is native Column work (regexp_extract_all + transform inside
+whole-stage codegen); ordering is deterministic by document position
+(nested-sitemap position, then entry position), exactly the oracle walk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_URL_BLOCKS = r"(?is)<url\b[^>]*>(.*?)</url>"
+_SM_BLOCKS = r"(?is)<sitemap\b[^>]*>(.*?)</sitemap>"
+_LOC = r"(?is)<loc\b[^>]*>(.*?)</loc>"
+_LASTMOD = r"(?is)<lastmod\b[^>]*>(.*?)</lastmod>"
+
+
+def _decode_entities(col):
+    for src, dst in (
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&apos;", "'"),
+    ):
+        col = F.replace(col, F.lit(src), F.lit(dst))
+    return col
+
+
+def _clean_loc(col):
+    """Trim + entity-decode a raw <loc> capture; '' → null."""
+    c = _decode_entities(F.trim(col))
+    return F.when(c == "", F.lit(None)).otherwise(c)
+
+
+def _xml(col):
+    return F.decode(col, "UTF-8")
+
+
+def _is_http(col):
+    return col.startswith("http://") | col.startswith("https://")
+
+
+def _urlset_entries(docs: DataFrame, xml_col: str) -> DataFrame:
+    """Explode <url> blocks of urlset documents into
+    (root_url, nested_pos, entry_pos, url, lastmod)."""
+    # NB Column-pattern API, not F.expr: a SQL string literal would eat
+    # the \b escapes (escapedStringLiterals=false parses '\b' as backspace)
+    blocks = F.regexp_extract_all(F.col(xml_col), F.lit(_URL_BLOCKS), 1)
+    e = docs.select(
+        "root_url",
+        "nested_pos",
+        F.posexplode(blocks).alias("entry_pos", "block"),
+    )
+    loc = _clean_loc(F.regexp_extract(F.col("block"), _LOC, 1))
+    lastmod = _clean_loc(F.regexp_extract(F.col("block"), _LASTMOD, 1))
+    return (
+        e.select(
+            "root_url", "nested_pos", "entry_pos",
+            loc.alias("url"), lastmod.alias("lastmod"),
+        )
+        .filter(F.col("url").isNotNull() & _is_http(F.col("url")))
+    )
+
+
+def sitemap_urls(pages: DataFrame, roots: DataFrame) -> DataFrame:
+    """(root_url, ord, url, lastmod) for every root sitemap URL —
+    ``<sitemapindex>`` roots expand through a second corpus join; missing
+    fetches (corpus has no row) drop out, exactly the oracle walk."""
+    corpus = pages.select(
+        F.col("url").alias("__fetch_url"), _xml(F.col("html")).alias("__xml")
+    )
+    a = roots.select(F.col("url").alias("root_url")).join(
+        corpus, F.col("root_url") == F.col("__fetch_url")
+    ).select("root_url", F.col("__xml").alias("xml"))
+
+    is_index = F.col("xml").rlike(r"(?i)<sitemapindex\b")
+    direct = a.filter(~is_index).select(
+        "root_url", F.lit(0).alias("nested_pos"), "xml"
+    )
+
+    nested_locs = F.regexp_extract_all(F.col("xml"), F.lit(_SM_BLOCKS), 1)
+    idx = a.filter(is_index).select(
+        "root_url", F.posexplode(nested_locs).alias("nested_pos", "block")
+    )
+    nested_url = _clean_loc(F.regexp_extract(F.col("block"), _LOC, 1))
+    nested = (
+        idx.select("root_url", "nested_pos", nested_url.alias("nested_url"))
+        .filter(F.col("nested_url").isNotNull() & _is_http(F.col("nested_url")))
+        .join(corpus, F.col("nested_url") == F.col("__fetch_url"))
+        .select("root_url", "nested_pos", F.col("__xml").alias("xml"))
+    )
+
+    entries = _urlset_entries(direct.unionByName(nested), "xml")
+    w = Window.partitionBy("root_url").orderBy("nested_pos", "entry_pos")
+    return entries.select(
+        "root_url",
+        (F.row_number().over(w) - 1).cast("long").alias("ord"),
+        "url",
+        "lastmod",
+    )
+
+
+def seeds_from_sitemaps(
+    pages: DataFrame, roots: DataFrame, url_seen=None
+) -> DataFrame:
+    """Frontier feed: distinct sitemap URLs (first root/ord occurrence
+    wins), optionally anti-joined against a url_seen table — the same
+    admission shape as any frontier source."""
+    urls = sitemap_urls(pages, roots)
+    w = Window.partitionBy("url").orderBy("root_url", "ord")
+    out = (
+        urls.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("url", "lastmod")
+    )
+    if url_seen is not None:
+        out = out.join(url_seen.select("url"), "url", "left_anti")
+    return out

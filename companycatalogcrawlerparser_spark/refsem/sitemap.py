@@ -1,0 +1,108 @@
+"""Pure-Python sitemap.xml semantics oracle (ENGINE-NEW surface).
+
+The reference crawler has no sitemap support — seeds come from catalog
+scrapes and a static list (``Program.fs:345-409``). A production frontier
+at 10^10 URLs ingests sitemaps (sitemaps.org protocol): they are the
+site-sanctioned URL inventory and the cheapest frontier feed. This module
+is the independent oracle the Spark operator
+(``operators/sitemap.py``) is hash-compared against, in the same pattern
+as ``refsem/robots.py`` (RFC 9309 gate, round 2).
+
+Pinned semantics (sitemaps.org, minimal-but-real subset):
+
+- ``<urlset>`` documents: one entry per ``<url>`` block, in document
+  order; ``loc`` = trimmed text of the first ``<loc>`` child (entity
+  refs decoded: amp/lt/gt/quot/apos); blocks with no/empty ``<loc>``
+  are skipped. ``lastmod`` = trimmed first ``<lastmod>`` text or None.
+- ``<sitemapindex>`` documents: entries are nested sitemap locations —
+  ``parse_sitemap_index`` returns them in document order (the crawl
+  plan fetches them as a second round, exactly like the H2/H3 nested
+  category loads).
+- Tags are matched case-insensitively; other children (changefreq,
+  priority, namespaces) are ignored.
+- Only http(s) locs survive (F1 applies to sitemap entries as to any
+  frontier candidate).
+"""
+
+from __future__ import annotations
+
+import re
+
+_URL_BLOCK_RE = re.compile(r"<url\b[^>]*>(.*?)</url>", re.IGNORECASE | re.DOTALL)
+_SM_BLOCK_RE = re.compile(r"<sitemap\b[^>]*>(.*?)</sitemap>", re.IGNORECASE | re.DOTALL)
+_LOC_RE = re.compile(r"<loc\b[^>]*>(.*?)</loc>", re.IGNORECASE | re.DOTALL)
+_LASTMOD_RE = re.compile(r"<lastmod\b[^>]*>(.*?)</lastmod>", re.IGNORECASE | re.DOTALL)
+
+_ENTITIES = [
+    ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&apos;", "'"),
+]
+
+
+def decode_entities(s: str) -> str:
+    for src, dst in _ENTITIES:
+        s = s.replace(src, dst)
+    return s
+
+
+def _first(rx: re.Pattern, block: str) -> str | None:
+    m = rx.search(block)
+    if not m:
+        return None
+    return decode_entities(m.group(1).strip())
+
+
+def is_sitemap_index(xml: str) -> bool:
+    return re.search(r"<sitemapindex\b", xml, re.IGNORECASE) is not None
+
+
+def parse_sitemap(xml: str) -> list:
+    """(loc, lastmod|None) per <url> block, document order; empty/missing
+    locs and non-http(s) locs skipped."""
+    out = []
+    for m in _URL_BLOCK_RE.finditer(xml):
+        loc = _first(_LOC_RE, m.group(1))
+        if not loc or not (
+            loc.startswith("http://") or loc.startswith("https://")
+        ):
+            continue
+        out.append((loc, _first(_LASTMOD_RE, m.group(1))))
+    return out
+
+
+def parse_sitemap_index(xml: str) -> list:
+    """Nested sitemap locations per <sitemap> block, document order."""
+    out = []
+    for m in _SM_BLOCK_RE.finditer(xml):
+        loc = _first(_LOC_RE, m.group(1))
+        if not loc or not (
+            loc.startswith("http://") or loc.startswith("https://")
+        ):
+            continue
+        out.append(loc)
+    return out
+
+
+def crawl_sitemaps(corpus: dict, roots: list) -> list:
+    """Two-round oracle walk: for each root sitemap URL (in order), if the
+    document is an index, fetch each nested sitemap from ``corpus``
+    (url → xml; missing fetches skipped) and take its entries, else take
+    the root's entries directly. Returns (root_url, ord, url, lastmod)
+    rows — ``ord`` is the rank within the root across its whole expansion."""
+    rows = []
+    for root in roots:
+        xml = corpus.get(root)
+        if xml is None:
+            continue
+        entries = []
+        if is_sitemap_index(xml):
+            for nested in parse_sitemap_index(xml):
+                nxml = corpus.get(nested)
+                if nxml is None:
+                    continue
+                entries.extend(parse_sitemap(nxml))
+        else:
+            entries = parse_sitemap(xml)
+        for i, (loc, lastmod) in enumerate(entries):
+            rows.append((root, i, loc, lastmod))
+    return rows

@@ -168,6 +168,21 @@ class TestMailer:
         got = ML.next_batch(emails, state, "t.msg", batch_size=10).collect()
         assert sorted(r["email_id"] for r in got) == [2, 3]  # min id kept
 
+    def test_delete_files_janitor(self, tmp_path):
+        """deleteFiles sweep (DataStructure/Library.fs:57-68): recursive,
+        pattern-scoped, leaves non-matching files alone."""
+        from companycatalogcrawlerparser_spark.plans import mailer as ML
+
+        (tmp_path / "sub").mkdir()
+        (tmp_path / "a.msg").write_bytes(b"x")
+        (tmp_path / "sub" / "b.msg").write_bytes(b"y")
+        (tmp_path / "sub" / "keep.txt").write_bytes(b"z")
+        deleted = ML.delete_files(str(tmp_path), "*.msg")
+        assert len(deleted) == 2
+        assert not (tmp_path / "a.msg").exists()
+        assert not (tmp_path / "sub" / "b.msg").exists()
+        assert (tmp_path / "sub" / "keep.txt").exists()
+
     def test_send_groups_chunking(self, spark):
         """cc/bcc shaping: take 60 |> chunkBySize 10 (Program.fs:130-150)."""
         from companycatalogcrawlerparser_spark.plans import mailer as ML

@@ -1,0 +1,88 @@
+"""Sitemap ingestion (engine-new): refsem oracle semantics + Spark
+two-round plan parity + frontier-feed dedup/anti-join."""
+
+from pyspark.sql import functions as F
+
+from companycatalogcrawlerparser_spark import harness as H
+from companycatalogcrawlerparser_spark.operators import sitemap as SM
+from companycatalogcrawlerparser_spark.refsem import sitemap as RSM
+
+
+class TestRefsemSitemap:
+    def test_urlset_order_entities_and_junk(self):
+        xml = H.SITEMAP_FIXTURES["http://firm-a.ru/sitemap.xml"]
+        rows = RSM.parse_sitemap(xml)
+        assert [r[0] for r in rows] == [
+            "http://firm-a.ru/",
+            "http://firm-a.ru/contact?a=1&b=2",  # &amp; decoded
+            "http://firm-a.ru/upper",            # case-insensitive tags
+        ]
+        assert rows[0][1] == "2025-01-02"
+        assert rows[1][1] is None
+
+    def test_index_detection_and_nested_locs(self):
+        xml = H.SITEMAP_FIXTURES["http://firm-b.ru/sitemap.xml"]
+        assert RSM.is_sitemap_index(xml)
+        assert not RSM.is_sitemap_index(
+            H.SITEMAP_FIXTURES["http://firm-a.ru/sitemap.xml"]
+        )
+        assert RSM.parse_sitemap_index(xml) == [
+            "http://firm-b.ru/sm/products.xml",
+            "http://firm-b.ru/sm/missing.xml",
+            "http://firm-b.ru/sm/news.xml",
+        ]
+
+    def test_crawl_walk_skips_missing_fetches(self):
+        rows = RSM.crawl_sitemaps(H.SITEMAP_FIXTURES, H.SITEMAP_ROOTS)
+        b = [(r[1], r[2]) for r in rows if r[0] == "http://firm-b.ru/sitemap.xml"]
+        assert b == [
+            (0, "http://firm-b.ru/p/1"),
+            (1, "http://firm-b.ru/p/2"),
+            (2, 'http://firm-b.ru/news/"q"'),
+        ]
+        assert not any(r[0].startswith("http://firm-c") for r in rows)
+
+    def test_malformed_xml_tolerated(self):
+        assert RSM.parse_sitemap("<urlset><url><loc>not closed") == []
+        assert RSM.parse_sitemap("") == []
+        assert RSM.parse_sitemap_index("<garbage>") == []
+
+
+class TestSparkSitemap:
+    def _fixture_dfs(self, spark):
+        pages = spark.createDataFrame(
+            [(u, bytearray(x.encode())) for u, x in H.SITEMAP_FIXTURES.items()],
+            "url string, html binary",
+        )
+        roots = spark.createDataFrame([(u,) for u in H.SITEMAP_ROOTS], ["url"])
+        return pages, roots
+
+    def test_two_round_plan_matches_oracle(self, spark):
+        pages, roots = self._fixture_dfs(spark)
+        got = sorted(
+            (r["root_url"], r["ord"], r["url"], r["lastmod"])
+            for r in SM.sitemap_urls(pages, roots).collect()
+        )
+        want = sorted(RSM.crawl_sitemaps(H.SITEMAP_FIXTURES, H.SITEMAP_ROOTS))
+        assert got == want
+
+    def test_seeds_feed_dedup_and_seen(self, spark):
+        pages, roots = self._fixture_dfs(spark)
+        seen = spark.createDataFrame(
+            [("http://firm-b.ru/p/1",)], ["url"]
+        )
+        out = {
+            r["url"]
+            for r in SM.seeds_from_sitemaps(pages, roots, url_seen=seen).collect()
+        }
+        assert "http://firm-b.ru/p/1" not in out
+        assert "http://firm-b.ru/p/2" in out
+        assert "http://firm-a.ru/" in out
+
+    def test_plan_stays_native(self, spark):
+        pages, roots = self._fixture_dfs(spark)
+        plan = (
+            SM.sitemap_urls(pages, roots)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
