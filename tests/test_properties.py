@@ -1,0 +1,173 @@
+"""Property-based tests (hypothesis) over the pure-Python refsem oracle.
+
+These pin INVARIANTS of the pinned semantics rather than example points —
+the example-parity suites (test_refsem_strings / test_functions_parity)
+anchor the quirk-exact values; here hypothesis explores the input space
+for structural guarantees the engine's plans rely on (idempotence,
+output-charset closure, admission-filter soundness). Pure Python only —
+no SparkSession, so the whole file runs in seconds.
+"""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from companycatalogcrawlerparser_spark.refsem import extract as RX
+from companycatalogcrawlerparser_spark.refsem import sitemap as RSM
+from companycatalogcrawlerparser_spark.refsem import strings as RS
+from companycatalogcrawlerparser_spark.refsem.predicates import (
+    is_end_with_digits,
+    is_not_image_script_css_ext,
+    not_social_network,
+)
+
+SETTINGS = settings(max_examples=200, derandomize=True, deadline=None)
+
+# URL-ish text: scheme + host-ish + path-ish with querystrings/fragments
+_hostish = st.text(
+    alphabet=string.ascii_lowercase + string.digits + ".-", min_size=1, max_size=20
+).filter(lambda s: not s.startswith(("-", ".")) and ".." not in s and s.strip("."))
+_pathish = st.text(
+    alphabet=string.ascii_letters + string.digits + "/-_.%?&=#~", max_size=40
+)
+urls = st.builds(
+    lambda sch, h, p: f"{sch}://{h}/{p}",
+    st.sampled_from(["http", "https", "HTTP", "HtTpS"]),
+    _hostish,
+    _pathish,
+)
+
+
+class TestCanonicalization:
+    @SETTINGS
+    @given(urls)
+    def test_canonicalize_idempotent(self, u):
+        """canon(canon(u)) == canon(u): the url_seen key is a fixpoint, so
+        re-canonicalizing resumed/persisted keys can never split a URL's
+        identity across rounds."""
+        c1 = RS.canonicalize_url(u)
+        assert RS.canonicalize_url(c1) == c1
+
+    @SETTINGS
+    @given(urls)
+    def test_canonical_host_lowercase_no_scheme(self, u):
+        c = RS.canonicalize_url(u)
+        scheme, rest = c.split("://", 1)
+        host = rest.split("/", 1)[0].rsplit(":", 1)[0]
+        assert scheme == scheme.lower()
+        assert host == host.lower()
+
+    @SETTINGS
+    @given(urls)
+    def test_canonicalize_strips_fragment(self, u):
+        assert "#" not in RS.canonicalize_url(u)
+
+    @SETTINGS
+    @given(urls)
+    def test_canonicalize_sorts_query_params(self, u):
+        c = RS.canonicalize_url(u)
+        if "?" in c:
+            q = c.split("?", 1)[1]
+            parts = q.split("&")
+            assert parts == sorted(parts)
+
+
+class TestStringQuirks:
+    @SETTINGS
+    @given(st.text(alphabet=string.printable, max_size=90))
+    def test_base64_roundtrip_ascii(self, raw):
+        """ASCII payloads roundtrip exactly through the hand-rolled quirk
+        decoder (len%4==0 by construction of b64encode)."""
+        import base64
+
+        enc = base64.b64encode(raw.encode("ascii")).decode()
+        assert RS.decode_base64(enc) == raw
+
+    @SETTINGS
+    @given(st.text(alphabet=string.ascii_letters + string.digits + "+/=", max_size=50))
+    def test_base64_len_mod4_quirk(self, s):
+        """Q5: len % 4 != 0 → '' (never raises)."""
+        if len(s) % 4 != 0:
+            assert RS.decode_base64(s) == ""
+
+    @SETTINGS
+    @given(st.text(max_size=80))
+    def test_trim_subject_is_prefix(self, s):
+        t = RS.trim_email_with_subject(s)
+        assert s.startswith(t)
+
+    @SETTINGS
+    @given(st.text(alphabet="абвгдежзиклмнопрстуфхцчшщъыьэюяёАБВГДЕЖЗИКЛМНОПРСТУФХЦЧШЩЪЫЬЭЮЯЁ -", max_size=30))
+    def test_translit_output_ascii(self, s):
+        out = RS.translit_cyrillic_to_latin(s)
+        assert out.isascii()
+        assert " " not in out  # space → '-'
+
+    @SETTINGS
+    @given(st.text(max_size=400))
+    def test_trunc_bounded(self, s):
+        assert len(RS.trunc(s)) <= 250
+
+    @SETTINGS
+    @given(st.text(max_size=60), st.text(min_size=1, max_size=5))
+    def test_count_substring_non_negative_consistent(self, hay, needle):
+        n = RS.count_substring(hay, needle)
+        # replace-based counting == Python's non-overlapping str.count
+        assert n == hay.count(needle)
+
+
+class TestAdmissionSoundness:
+    """Every URL admitted by the F8 chain satisfies the gate predicates —
+    the frontier can never contain a URL any stage should have rejected."""
+
+    _html = st.builds(
+        lambda hrefs: "<html><body>"
+        + "".join(f'<a href="{h}">x</a>' for h in hrefs)
+        + "</body></html>",
+        st.lists(
+            st.text(
+                alphabet=string.ascii_letters + string.digits + ":/.-_?=#&",
+                max_size=60,
+            ),
+            max_size=8,
+        ),
+    )
+
+    @SETTINGS
+    @given(_html, _hostish)
+    def test_admitted_urls_pass_gates(self, html, host):
+        base = f"http://{host}"
+        for u in RX.search_href_results(html, base):
+            assert len(u) <= 80
+            assert u.startswith("http")
+            assert is_not_image_script_css_ext(u)
+            assert not_social_network(u)
+            assert not is_end_with_digits(u)
+            assert RS.count_substring(u, "://") == 1
+            assert not u.endswith("//")
+            assert "mailto" not in u[:7]
+
+    @SETTINGS
+    @given(_html)
+    def test_mailto_results_normalized(self, html):
+        for e in RX.search_mailto_results(html):
+            assert e == e.lower()
+            assert not e.startswith("mailto:")
+
+
+class TestSitemapProperties:
+    _xml = st.builds(
+        lambda locs: "<urlset>"
+        + "".join(f"<url><loc>{u}</loc></url>" for u in locs)
+        + "</urlset>",
+        st.lists(st.text(alphabet=string.printable.replace("<", "").replace(">", ""), max_size=40), max_size=6),
+    )
+
+    @SETTINGS
+    @given(_xml)
+    def test_parsed_locs_http_and_trimmed(self, xml):
+        for loc, _lm in RSM.parse_sitemap(xml):
+            assert loc.startswith(("http://", "https://"))
+            assert loc == loc.strip()
