@@ -394,13 +394,9 @@ def q_f13_tree_slice(spark, sf_dir):
 def q_x6_translit(spark, sf_dir):
     cities = ["Москва", "Санкт Петербург", "Нижний Новгород", "Ярославль", "Екатеринбург"]
     df = spark.createDataFrame([(c,) for c in cities], ["city"])
-    expr = F.col("city")
-    # build the same nested-replace chain the oracle uses (68-pair X6 map)
-    from companycatalogcrawlerparser_spark.refsem.strings import _TRANSLIT
-
-    for src, dst in _TRANSLIT.items():
-        expr = F.replace(expr, F.lit(src), F.lit(dst))
-    return df.select("city", expr.alias("latin"))
+    return df.select(
+        "city", C.translit_cyrillic_to_latin(F.col("city")).alias("latin")
+    )
 
 
 def q_events_windows(spark, sf_dir):

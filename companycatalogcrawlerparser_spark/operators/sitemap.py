@@ -105,12 +105,41 @@ def sitemap_urls(pages: DataFrame, roots: DataFrame) -> DataFrame:
     )
 
     entries = _urlset_entries(direct.unionByName(nested), "xml")
-    w = Window.partitionBy("root_url").orderBy("nested_pos", "entry_pos")
-    return entries.select(
-        "root_url",
-        (F.row_number().over(w) - 1).cast("long").alias("ord"),
-        "url",
-        "lastmod",
+    # ord within the root WITHOUT a per-root global window: a big index
+    # root expands to (#nested × entries-per-sitemap) rows — potentially
+    # 50k × 50k = 2.5B under ONE root_url, which a row_number window over
+    # root_url would funnel into a single task. Instead: per-(root,
+    # nested) entry counts (one row per nested SITEMAP, tiny), cumsum
+    # those offsets over nested_pos (window over sitemap-count rows, not
+    # entry rows), broadcast-join back, ord = offset + entry_pos. Window
+    # task size is bounded by the sitemaps.org protocol itself (≤50k
+    # sitemaps per index), per-task entry work by ≤50k URLs per file.
+    # entry_pos has gaps (skipped junk locs), and the oracle's ord counts
+    # only KEPT entries — dense-rank within each (root, nested) file
+    # first; that window is bounded by one sitemap file (≤50k entries)
+    wf = Window.partitionBy("root_url", "nested_pos").orderBy("entry_pos")
+    entries = entries.withColumn("__rn", F.row_number().over(wf) - 1)
+    counts = entries.groupBy("root_url", "nested_pos").agg(
+        F.count("*").alias("__n")
+    )
+    wo = Window.partitionBy("root_url").orderBy("nested_pos")
+    offsets = counts.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__n").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select("root_url", "nested_pos", "__off")
+    # offsets is file-level metadata (one row per sitemap FILE), small by
+    # protocol — broadcastable even at 10^10-URL frontier scale
+    return (
+        entries.join(F.broadcast(offsets), ["root_url", "nested_pos"])
+        .select(
+            "root_url",
+            (F.col("__off") + F.col("__rn")).cast("long").alias("ord"),
+            "url",
+            "lastmod",
+        )
     )
 
 

@@ -164,3 +164,35 @@ class TestJvmSideOnly:
         # formatted mode tags fused spans with "codegen id"; under heavy
         # concurrent sessions codegen may appear under either marker
         assert ("WholeStageCodegen" in plan) or ("codegen id" in plan), plan
+
+
+class TestSimilarityPlans:
+    def test_cosine_pairs_equi_joins_on_signature(self, spark):
+        """The LSH self-join must be an EQUI join on the signature column —
+        a BroadcastNestedLoopJoin/CartesianProduct would mean the bucket
+        predicate degraded to a post-filter (quadratic at any scale)."""
+        from companycatalogcrawlerparser_spark.operators import similarity as SIM
+
+        df = spark.range(200).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[(F.col("id") % 7 + i).cast("float") for i in range(4)]).alias(
+                "embedding"
+            ),
+        )
+        plan = _plan(SIM.cosine_pairs(df, 0.5, dim=4, max_bucket=64))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_sitemap_ingest_no_python_no_cartesian(self, spark):
+        from companycatalogcrawlerparser_spark import harness as H
+        from companycatalogcrawlerparser_spark.operators import sitemap as SM
+
+        pages = spark.createDataFrame(
+            [(u, bytearray(x.encode())) for u, x in H.SITEMAP_FIXTURES.items()],
+            "url string, html binary",
+        )
+        roots = spark.createDataFrame([(u,) for u in H.SITEMAP_ROOTS], ["url"])
+        plan = _plan(SM.sitemap_urls(pages, roots))
+        for node in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                     "BroadcastNestedLoopJoin"):
+            assert node not in plan
