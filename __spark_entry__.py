@@ -454,24 +454,25 @@ def q_point_probe(spark, sf_dir):
     return s5.unionByName(s6)
 
 
-def q_x7_base64_roundtrip(spark, sf_dir):
-    """X7 — base64 decode path (standards-compliant core; the reference's
-    hand-rolled quirks Q5 are pytest-verified in refsem)."""
+def q_string_codecs(spark, sf_dir):
+    """X7 (base64 roundtrip; the reference's hand-rolled quirks Q5 are
+    pytest-verified in refsem) + X8 (trunc 250) as one labeled union."""
     p = _t(spark, sf_dir, "part")
     enc = F.base64(F.encode(F.col("p_name"), "utf-8"))
-    return p.select(
-        "p_partkey",
-        enc.alias("b64"),
-        F.decode(F.unbase64(enc), "utf-8").alias("roundtrip"),
+    x7 = p.select(
+        F.lit("x7").alias("kind"),
+        F.col("p_partkey").alias("id"),
+        enc.alias("a"),
+        F.decode(F.unbase64(enc), "utf-8").alias("b"),
     )
-
-
-def q_x8_trunc(spark, sf_dir):
-    """X8 — trunc(250) analogue."""
     d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.substring(F.col("text"), 1, 250).alias("head250")
+    x8 = d.select(
+        F.lit("x8").alias("kind"),
+        F.col("doc_id").alias("id"),
+        F.substring(F.col("text"), 1, 250).alias("a"),
+        F.lit(None).cast("string").alias("b"),
     )
+    return x7.unionByName(x8)
 
 
 def q_chunk_yield(spark, sf_dir):
@@ -667,8 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_yield": q_chunk_yield,
         "u3_blacklist_except": q_u3_blacklist_except,
         "point_probe": q_point_probe,
-        "x7_base64_roundtrip": q_x7_base64_roundtrip,
-        "x8_trunc": q_x8_trunc,
+        "string_codecs": q_string_codecs,
         # crawl-surface hard signal (engine crawl/extract vs pure-Python
         # refsem oracle parquet) — companycatalogcrawlerparser_spark.harness
         **_crawl_harness_queries(),
@@ -692,6 +692,7 @@ def _crawl_harness_queries():
         **_H.CRAWL_QUERIES,
         "robots_gate": _H.q_robots_gate,
         "sitemap_ingest": _H.q_sitemap_ingest,
+        "warc_ingest": _H.q_warc_ingest,
     }
 
 
@@ -703,6 +704,7 @@ def _crawl_harness_oracle_sql():
     out["s7_template_scan"] = _H.s7_oracle_sql()
     out["robots_gate"] = _H.robots_oracle_sql()
     out["sitemap_ingest"] = _H.sitemap_oracle_sql()
+    out["warc_ingest"] = _H.warc_oracle_sql()
     return out
 
 
@@ -964,13 +966,14 @@ WHERE EXISTS (SELECT 1 FROM customer
               WHERE c_custkey = o_custkey AND c_acctbal > 0)
 GROUP BY o_orderstatus
 """,
-        "x7_base64_roundtrip": """
-SELECT p_partkey, to_base64(encode(p_name)) AS b64,
-       decode(from_base64(to_base64(encode(p_name)))) AS roundtrip
+        "string_codecs": """
+SELECT 'x7' AS kind, p_partkey AS id, to_base64(encode(p_name)) AS a,
+       decode(from_base64(to_base64(encode(p_name)))) AS b
 FROM part
-""",
-        "x8_trunc": """
-SELECT doc_id, substring(text, 1, 250) AS head250 FROM documents
+UNION ALL
+SELECT 'x8' AS kind, doc_id AS id, substring(text, 1, 250) AS a,
+       CAST(NULL AS VARCHAR) AS b
+FROM documents
 """,
         "chunk_yield": f"""
 WITH r AS (SELECT o_orderkey,

@@ -771,6 +771,113 @@ def robots_oracle_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# WARC ingestion (engine-new source) — binaryFile+mapInPandas vs refsem
+
+
+def _warc_record(wtype: str, headers: dict, block: bytes) -> bytes:
+    head = [f"WARC/1.0", f"WARC-Type: {wtype}"]
+    head += [f"{k}: {v}" for k, v in headers.items()]
+    head.append(f"Content-Length: {len(block)}")
+    return ("\r\n".join(head) + "\r\n\r\n").encode() + block + b"\r\n\r\n"
+
+
+def _http_block(body: bytes, ctype: str = "text/html") -> bytes:
+    return (
+        f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+def warc_fixture_bytes() -> dict:
+    """name → raw file bytes: one plain .warc and one .warc.gz with
+    concatenated per-record gzip members (the Common-Crawl layout)."""
+    import gzip as _gz
+
+    recs_a = [
+        _warc_record("warcinfo", {"WARC-Date": "2025-06-01T00:00:00Z"},
+                     b"software: test\r\n"),
+        _warc_record("request", {
+            "WARC-Target-URI": "http://firm-a.ru/",
+            "WARC-Date": "2025-06-01T10:00:00Z",
+        }, b"GET / HTTP/1.1\r\n\r\n"),
+        _warc_record("response", {
+            "WARC-Target-URI": "http://firm-a.ru/",
+            "WARC-Date": "2025-06-01T10:00:00Z",
+        }, _http_block(b"<html><body>home \r\n body</body></html>")),
+        _warc_record("response", {
+            "WARC-Target-URI": "http://firm-a.ru/contact",
+            "WARC-Date": "2025-06-01T10:00:05.250000Z",
+        }, _http_block(b"<html>mailto:x@firm-a.ru</html>")),
+        # skipped: bad date
+        _warc_record("response", {
+            "WARC-Target-URI": "http://firm-a.ru/bad",
+            "WARC-Date": "not-a-date",
+        }, _http_block(b"x")),
+        # skipped: no target uri
+        _warc_record("response", {"WARC-Date": "2025-06-01T10:00:06Z"},
+                     _http_block(b"y")),
+    ]
+    recs_b = [
+        _warc_record("response", {
+            "WARC-Target-URI": "http://firm-b.ru/",
+            "WARC-Date": "2025-06-02T08:30:00Z",
+        }, _http_block(b"<html>b-home</html>")),
+        _warc_record("response", {
+            "WARC-Target-URI": "http://firm-b.ru/about",
+            "WARC-Date": "2025-06-02T08:30:01Z",
+        }, b"no-http-header-block"),  # lenient: whole block is the body
+    ]
+    return {
+        "seg-a.warc": b"".join(recs_a),
+        "seg-b.warc.gz": b"".join(_gz.compress(r) for r in recs_b),
+    }
+
+
+def warc_dir() -> str:
+    if "warc_dir" in _memo:
+        return _memo["warc_dir"]
+    d = tempfile.mkdtemp(prefix="ccp_warc_")
+    for name, data in warc_fixture_bytes().items():
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(data)
+    _memo["warc_dir"] = d
+    return d
+
+
+def q_warc_ingest(spark, sf_dir) -> DataFrame:
+    from .sources.warc import read_warc
+
+    pages = read_warc(spark, warc_dir())
+    return pages.select(
+        "url", "warc_ts",
+        F.length("html").cast("long").alias("n_bytes"),
+        F.md5("html").alias("html_md5"),
+    )
+
+
+def warc_oracle_sql() -> str:
+    import hashlib
+
+    from .refsem.warc import pages_from_warc
+
+    d = oracle_dir()
+    rows = []
+    for data in warc_fixture_bytes().values():
+        for url, ts, body in pages_from_warc(data):
+            rows.append((url, ts, len(body), hashlib.md5(body).hexdigest()))
+    _write(d, "warc_ingest", {
+        "url": [r[0] for r in rows],
+        "warc_ts": [r[1] for r in rows],
+        "n_bytes": [r[2] for r in rows],
+        "html_md5": [r[3] for r in rows],
+    })
+    return (
+        "SELECT url, warc_ts, CAST(n_bytes AS BIGINT) AS n_bytes, html_md5 "
+        f"FROM read_parquet('{os.path.join(d, 'warc_ingest.parquet')}')"
+    )
+
+
+# ---------------------------------------------------------------------------
 # sitemap ingestion (engine-new) — two-round Spark plan vs refsem walk
 
 SITEMAP_FIXTURES = {

@@ -1,0 +1,83 @@
+"""WARC ingestion source (engine-new): refsem record-splitter semantics +
+the binaryFile→mapInPandas Spark source parity, plain and gzip layouts."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from companycatalogcrawlerparser_spark import harness as H
+from companycatalogcrawlerparser_spark.refsem import warc as RW
+from companycatalogcrawlerparser_spark.sources.warc import read_warc
+
+
+class TestRefsemWarc:
+    def test_split_records_counts_and_types(self):
+        data = H.warc_fixture_bytes()["seg-a.warc"]
+        recs = RW.split_records(data)
+        assert [h.get("warc-type") for h, _ in recs] == [
+            "warcinfo", "request", "response", "response", "response", "response",
+        ]
+
+    def test_pages_skip_invalid_and_keep_order(self):
+        data = H.warc_fixture_bytes()["seg-a.warc"]
+        pages = RW.pages_from_warc(data)
+        assert [p[0] for p in pages] == [
+            "http://firm-a.ru/", "http://firm-a.ru/contact",
+        ]
+        assert pages[0][1] == dt.datetime(2025, 6, 1, 10, 0, 0)
+        assert pages[1][1] == dt.datetime(2025, 6, 1, 10, 0, 5, 250000)
+        # body = bytes after the HTTP header terminator, CRLFs preserved
+        assert pages[0][2] == b"<html><body>home \r\n body</body></html>"
+
+    def test_gzip_concatenated_members(self):
+        data = H.warc_fixture_bytes()["seg-b.warc.gz"]
+        pages = RW.pages_from_warc(data)
+        assert [p[0] for p in pages] == [
+            "http://firm-b.ru/", "http://firm-b.ru/about",
+        ]
+        # lenient block with no HTTP header terminator → taken whole
+        assert pages[1][2] == b"no-http-header-block"
+
+    def test_garbage_tolerated(self):
+        assert RW.pages_from_warc(b"") == []
+        assert RW.pages_from_warc(b"not a warc at all") == []
+        # leading junk before the first record marker is skipped
+        data = b"JUNK" + H.warc_fixture_bytes()["seg-a.warc"]
+        assert len(RW.pages_from_warc(data)) == 2
+
+
+class TestSparkWarcSource:
+    def test_source_matches_oracle(self, spark):
+        got = sorted(
+            (r["url"], r["warc_ts"], len(bytes(r["html"])))
+            for r in read_warc(spark, H.warc_dir()).collect()
+        )
+        want = []
+        for data in H.warc_fixture_bytes().values():
+            for url, ts, body in RW.pages_from_warc(data):
+                want.append((url, ts, len(body)))
+        assert got == sorted(want)
+
+    def test_schema_matches_pages_contract(self, spark):
+        df = read_warc(spark, H.warc_dir())
+        assert [f.name for f in df.schema.fields] == [
+            "url", "warc_ts", "html", "text", "lang",
+        ]
+        assert df.schema["warc_ts"].dataType.simpleString() == "timestamp"
+        assert df.schema["html"].dataType.simpleString() == "binary"
+
+    def test_feeds_fetch_pipeline(self, spark):
+        """The WARC output is a drop-in pages table: canonicalize + host
+        grouping run directly on it (the input_hint contract)."""
+        from companycatalogcrawlerparser_spark.functions import canon as C
+
+        df = read_warc(spark, H.warc_dir()).select(
+            C.canonicalize_url(F.col("url")).alias("canonical_url"),
+            C.canonical_host(F.col("url")).alias("host"),
+            F.length("html").alias("n"),
+        )
+        by_host = {
+            r["host"]: r["cnt"]
+            for r in df.groupBy("host").agg(F.count("*").alias("cnt")).collect()
+        }
+        assert by_host == {"firm-a.ru": 2, "firm-b.ru": 2}
