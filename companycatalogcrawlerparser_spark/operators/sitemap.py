@@ -143,6 +143,40 @@ def sitemap_urls(pages: DataFrame, roots: DataFrame) -> DataFrame:
     )
 
 
+def recrawl_candidates(
+    sitemap_entries: DataFrame, fetch_log: DataFrame
+) -> DataFrame:
+    """Incremental-recrawl selection: sitemap URLs that are NEW (never
+    fetched) or STALE (``lastmod`` strictly after the last fetch).
+
+    ``sitemap_entries`` is :func:`sitemap_urls` output;``fetch_log`` is
+    ``(url, last_fetch_ts timestamp)`` — e.g. max(warc_ts) per url from
+    the pages table, or the crawl trace's fetch stamps. URLs with no
+    parseable lastmod are treated as NOT stale (sitemaps.org: lastmod is
+    advisory; absent means "no change claim") — only the never-fetched
+    path admits them. One left join on url; no windows."""
+    entries = sitemap_entries.select(
+        "url", F.to_timestamp("lastmod").alias("__lastmod")
+    ).dropDuplicates(["url"])
+    log = fetch_log.select(
+        "url", F.col("last_fetch_ts").alias("__fetched")
+    )
+    joined = entries.join(log, "url", "left")
+    reason = (
+        F.when(F.col("__fetched").isNull(), F.lit("new"))
+        .when(
+            F.col("__lastmod").isNotNull()
+            & (F.col("__lastmod") > F.col("__fetched")),
+            F.lit("stale"),
+        )
+    )
+    return (
+        joined.withColumn("reason", reason)
+        .filter(F.col("reason").isNotNull())
+        .select("url", F.col("__lastmod").alias("lastmod_ts"), "reason")
+    )
+
+
 def seeds_from_sitemaps(
     pages: DataFrame, roots: DataFrame, url_seen=None
 ) -> DataFrame:

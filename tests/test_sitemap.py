@@ -79,6 +79,37 @@ class TestSparkSitemap:
         assert "http://firm-b.ru/p/2" in out
         assert "http://firm-a.ru/" in out
 
+    def test_recrawl_candidates(self, spark):
+        """new = never fetched; stale = lastmod after last fetch; absent
+        lastmod never marks stale (advisory field)."""
+        import datetime as dt
+
+        entries = spark.createDataFrame(
+            [
+                ("http://a.ru/sm", 0, "http://a.ru/new", None),
+                ("http://a.ru/sm", 1, "http://a.ru/stale", "2025-06-10"),
+                ("http://a.ru/sm", 2, "http://a.ru/fresh", "2025-06-01"),
+                ("http://a.ru/sm", 3, "http://a.ru/nolastmod", None),
+            ],
+            "root_url string, ord long, url string, lastmod string",
+        )
+        log = spark.createDataFrame(
+            [
+                ("http://a.ru/stale", dt.datetime(2025, 6, 5)),
+                ("http://a.ru/fresh", dt.datetime(2025, 6, 5)),
+                ("http://a.ru/nolastmod", dt.datetime(2025, 6, 5)),
+            ],
+            "url string, last_fetch_ts timestamp",
+        )
+        got = {
+            r["url"]: r["reason"]
+            for r in SM.recrawl_candidates(entries, log).collect()
+        }
+        assert got == {
+            "http://a.ru/new": "new",
+            "http://a.ru/stale": "stale",
+        }
+
     def test_plan_stays_native(self, spark):
         pages, roots = self._fixture_dfs(spark)
         plan = (
