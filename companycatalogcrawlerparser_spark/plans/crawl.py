@@ -34,6 +34,7 @@ from ..functions.emails import finalize_emails
 from ..functions.predicates import (
     is_contacts_page,
     is_not_image_script_css_ext,
+    not_social_network,
     seed_filter,
 )
 from ..operators import extract as X
@@ -82,6 +83,12 @@ class CrawlConfig:
     #   → broadcast it and STREAM the corpus (html never shuffles/sorts);
     #   disable only for frontier batches beyond broadcast size, where the
     #   pages table should be bucketed by url_hash instead
+    use_sitemaps: bool = False  # ENGINE-NEW (opt-in, default off so the
+    #   reference-parity traces are untouched): after the seed round,
+    #   enrich the contact round's frontier with same-host contact-like
+    #   URLs from each company's /sitemap.xml in the corpus — sites whose
+    #   homepage hides the contact link still get their contact page
+    #   fetched. See _sitemap_contact_frontier.
 
 
 def _empty_seen(spark: SparkSession) -> DataFrame:
@@ -251,6 +258,12 @@ def run_crawl(
 
         if round_id == 0:
             result = _seed_round(spark, cfg, tokens, ok_tokens)
+            if cfg.use_sitemaps:
+                result["frontier_next"] = result["frontier_next"].unionByName(
+                    _sitemap_contact_frontier(
+                        pages, ok_tokens, result["frontier_next"]
+                    )
+                )
             _mark(f"round {round_id} plan: seed_round built")
         else:
             bag = X.regex_emails(ok_tokens).select("company_id", "email")
@@ -373,6 +386,60 @@ def _checkpoint_parallel(dfs) -> list:
         return [dfs[0].localCheckpoint(eager=False)]
     with ThreadPoolExecutor(max_workers=len(dfs)) as ex:
         return list(ex.map(lambda d: d.localCheckpoint(eager=False), dfs))
+
+
+def _sitemap_contact_frontier(
+    pages: DataFrame, ok_tokens: DataFrame, frontier_next: DataFrame
+) -> DataFrame:
+    """ENGINE-NEW (CrawlConfig.use_sitemaps): same-host contact-like URLs
+    from each company's ``<base_url>/sitemap.xml`` in the corpus, shaped
+    as extra contact-round frontier rows. Gates mirror the crawl's own
+    admission surface: F2/F3/F4 + F7 same-host containment + the
+    reference's mailto>1 expansion block (Crawler.fs:343-344). Intra-round
+    duplicates drop via an anti-join on (company_id, url); cross-round
+    refetches are prevented by the normal url_seen scopes. ``seq`` offsets
+    by 1_000_000 so sitemap finds order AFTER document-extracted links —
+    supplementary, never reordering the reference's trace."""
+    from ..functions.canon import host_token
+    from ..operators import sitemap as SM
+
+    bases = ok_tokens.select("company_id", "base_url").distinct()
+    roots = bases.withColumn(
+        "root_url", F.concat(F.col("base_url"), F.lit("/sitemap.xml"))
+    )
+    entries = SM.sitemap_urls(
+        pages, roots.select(F.col("root_url").alias("url")).distinct()
+    )
+    mailto_counts = (
+        X.mailto_emails(ok_tokens)
+        .groupBy("company_id")
+        .agg(F.count("*").alias("__n_mailto"))
+    )
+    expandable = (
+        bases.join(mailto_counts, "company_id", "left")
+        .filter(F.coalesce(F.col("__n_mailto"), F.lit(0)) <= 1)
+        .select("company_id")
+    )
+    cand = (
+        entries.join(roots, "root_url")
+        .join(expandable, "company_id")
+        .filter(
+            is_contacts_page(F.col("url"))
+            & is_not_image_script_css_ext(F.col("url"))
+            & not_social_network(F.col("url"))
+            & F.col("url").contains(host_token(F.col("base_url")))
+        )
+        .select(
+            "company_id",
+            "url",
+            F.lit(FR.PRIO_CONTACT_HREF).alias("priority"),
+            (F.lit(1_000_000) + F.col("ord")).cast("int").alias("seq"),
+            "base_url",
+        )
+    )
+    return cand.join(
+        frontier_next.select("company_id", "url"), ["company_id", "url"], "left_anti"
+    )
 
 
 def _seed_round(spark, cfg, tokens, ok_tokens) -> dict:

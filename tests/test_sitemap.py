@@ -110,6 +110,66 @@ class TestSparkSitemap:
             "http://a.ru/stale": "stale",
         }
 
+    def test_crawl_use_sitemaps_finds_hidden_contact(self, spark, tmp_path):
+        """CrawlConfig.use_sitemaps e2e: a site whose homepage has NO
+        contact link still yields its contact-page email via
+        /sitemap.xml; a mailto>1 homepage keeps the reference's expansion
+        block (its sitemap is ignored); default (off) is unchanged."""
+        import datetime as dt
+
+        from companycatalogcrawlerparser_spark.plans.crawl import (
+            CrawlConfig, run_crawl,
+        )
+        from companycatalogcrawlerparser_spark.sources import webgen
+
+        ts = dt.datetime(2025, 1, 1)
+
+        def page(url, html, status=200):
+            return (url, ts, html.encode(), "", "ru", status, None)
+
+        pages = [
+            # company 1: bare homepage, contact only in the sitemap
+            page("http://sitemaponly.ru",
+                 "<html><body>just text, no links</body></html>"),
+            page("http://sitemaponly.ru/sitemap.xml",
+                 "<urlset><url><loc>http://sitemaponly.ru/contacts.html</loc></url></urlset>"),
+            page("http://sitemaponly.ru/contacts.html",
+                 "<html><body>write boss@sitemaponly.ru</body></html>"),
+            # company 2: mailto>1 homepage → expansion blocked (ref parity)
+            page("http://blockedsite.ru",
+                 '<html><body><a href="mailto:a@blockedsite.ru">a</a>'
+                 '<a href="mailto:b@blockedsite.ru">b</a></body></html>'),
+            page("http://blockedsite.ru/sitemap.xml",
+                 "<urlset><url><loc>http://blockedsite.ru/contact/</loc></url></urlset>"),
+            page("http://blockedsite.ru/contact/",
+                 "<html><body>never@blockedsite.ru</body></html>"),
+        ]
+        seeds = [
+            (1, "http://sitemaponly.ru", False, False, False),
+            (2, "http://blockedsite.ru", False, False, False),
+        ]
+        pages_df = spark.createDataFrame(pages, schema=webgen.PAGES_SCHEMA)
+        seeds_df = spark.createDataFrame(seeds, schema=webgen.SEEDS_SCHEMA)
+
+        base_cfg = dict(num_partitions=4, n_buckets=8, collect_counters=False)
+        off = run_crawl(
+            spark, pages_df, seeds_df, str(tmp_path / "off"),
+            CrawlConfig(**base_cfg),
+        )
+        off_pairs = {(r["company_id"], r["email"])
+                     for r in off["email_pairs"].collect()}
+        assert (1, "boss@sitemaponly.ru") not in off_pairs  # default unchanged
+
+        on = run_crawl(
+            spark, pages_df, seeds_df, str(tmp_path / "on"),
+            CrawlConfig(use_sitemaps=True, **base_cfg),
+        )
+        on_pairs = {(r["company_id"], r["email"])
+                    for r in on["email_pairs"].collect()}
+        assert (1, "boss@sitemaponly.ru") in on_pairs
+        assert (2, "never@blockedsite.ru") not in on_pairs  # block holds
+        assert (2, "a@blockedsite.ru") in on_pairs  # mailtos still harvested
+
     def test_plan_stays_native(self, spark):
         pages, roots = self._fixture_dfs(spark)
         plan = (
