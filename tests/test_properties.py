@@ -157,6 +157,29 @@ class TestAdmissionSoundness:
             assert not e.startswith("mailto:")
 
 
+class TestDriverRegistryContract:
+    """The round driver records at most the FIRST 50 rows of queries()
+    (observed empirically: round 2 registered 67 and exactly the first 50
+    appeared in CORRECTNESS_r02.json). These guards keep the whole
+    registry inside the record and keep every row oracle-checked."""
+
+    def test_registry_fits_driver_record(self):
+        import __spark_entry__ as entry
+
+        qs = entry.queries()
+        assert len(qs) <= 50, (
+            f"{len(qs)} queries() keys — the driver records only the "
+            "first 50; fold rows (see COVERAGE.md fold map)"
+        )
+
+    def test_every_query_has_an_oracle_twin(self):
+        import __spark_entry__ as entry
+
+        qs, oracles = entry.queries(), entry.oracle_sql()
+        assert [k for k in qs if k not in oracles] == []
+        assert [k for k in oracles if k not in qs] == []
+
+
 class TestSitemapProperties:
     _xml = st.builds(
         lambda locs: "<urlset>"
