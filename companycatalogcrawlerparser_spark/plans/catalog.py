@@ -177,6 +177,9 @@ def extract_categories_nested(
         )
         .groupBy("url")
         .agg(
+            # bounded buffer: one PARENT catalog page's nested links (the
+            # handful of show_all/subcats anchors on that page, tens at
+            # most) — never a corpus-scale membership list
             F.collect_list(F.struct("nested_url", "sub_html")).alias("subpages")
         )
     )
