@@ -143,6 +143,43 @@ def sitemap_urls(pages: DataFrame, roots: DataFrame) -> DataFrame:
     )
 
 
+# Exactly the W3C-Datetime profile sitemaps.org pins for <lastmod>:
+# YYYY | YYYY-MM | YYYY-MM-DD | YYYY-MM-DDThh:mm[:ss[.s+]](Z|±hh:mm).
+# Both the Spark side and the pure-Python twin gate on this BEFORE
+# parsing, because the underlying parsers disagree outside it (Spark's
+# stringToTimestamp takes single-digit months, Python's fromisoformat
+# takes compact YYYYMMDD — neither is W3C).
+W3C_DATETIME_RE = (
+    r"^\d{4}(-\d{2}(-\d{2}"
+    r"(T\d{2}:\d{2}(:\d{2}(\.\d+)?)?(Z|[+-]\d{2}:\d{2}))?)?)?$"
+)
+
+
+def lastmod_ts(col):
+    """W3C-datetime ``<lastmod>`` → timestamp, partial dates included.
+
+    sitemaps.org pins lastmod to W3C Datetime, which allows PARTIAL dates:
+    ``YYYY`` and ``YYYY-MM`` as well as full dates/datetimes. Partials
+    complete to the first instant of the period (coalesce chain); offsets
+    normalize to UTC (session TZ); values outside the W3C profile stay
+    null (advisory field — no claim). The pure-Python twin is
+    ``refsem.sitemap.parse_lastmod``."""
+    c = F.trim(col)
+    # W3C allows hh:mm with no seconds; Spark's parser doesn't — complete
+    # the seconds before parsing (:00 inserted ahead of the zone)
+    full = F.regexp_replace(
+        c, r"(T\d{2}:\d{2})(Z|[+-]\d{2}:\d{2})$", r"$1:00$2"
+    )
+    # try_to_timestamp: ANSI-safe — malformed values (e.g. day 31 of a
+    # 30-day month) are null, never an execution error
+    parsed = F.coalesce(
+        F.try_to_timestamp(full),
+        F.try_to_timestamp(F.concat(c, F.lit("-01"))),      # YYYY-MM
+        F.try_to_timestamp(F.concat(c, F.lit("-01-01"))),   # YYYY
+    )
+    return F.when(c.rlike(W3C_DATETIME_RE), parsed)
+
+
 def recrawl_candidates(
     sitemap_entries: DataFrame, fetch_log: DataFrame
 ) -> DataFrame:
@@ -154,10 +191,18 @@ def recrawl_candidates(
     the pages table, or the crawl trace's fetch stamps. URLs with no
     parseable lastmod are treated as NOT stale (sitemaps.org: lastmod is
     advisory; absent means "no change claim") — only the never-fetched
-    path admits them. One left join on url; no windows."""
-    entries = sitemap_entries.select(
-        "url", F.to_timestamp("lastmod").alias("__lastmod")
-    ).dropDuplicates(["url"])
+    path admits them. One left join on url; no windows.
+
+    A URL listed by several sitemaps/roots keeps the MAX parsed lastmod
+    (``max`` ignores nulls): any sitemap claiming a newer change triggers
+    the stale path deterministically — a ``dropDuplicates`` here would
+    keep a plan-dependent arbitrary row and could nondeterministically
+    drop a genuinely stale URL."""
+    entries = (
+        sitemap_entries.select("url", lastmod_ts(F.col("lastmod")).alias("__lm"))
+        .groupBy("url")
+        .agg(F.max("__lm").alias("__lastmod"))
+    )
     log = fetch_log.select(
         "url", F.col("last_fetch_ts").alias("__fetched")
     )

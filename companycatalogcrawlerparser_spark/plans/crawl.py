@@ -433,7 +433,13 @@ def _sitemap_contact_frontier(
             "company_id",
             "url",
             F.lit(FR.PRIO_CONTACT_HREF).alias("priority"),
-            (F.lit(1_000_000) + F.col("ord")).cast("int").alias("seq"),
+            # seq stays LONG: sitemap_urls emits ord as long because one
+            # index root legitimately expands to ~2.5B entries — an int
+            # cast would wrap negative there and reorder sitemap finds
+            # BEFORE document links. The unionByName at the call site
+            # widens the document frontier's int seq to long (set-op type
+            # coercion); downstream only ever orders by seq.
+            (F.lit(1_000_000) + F.col("ord")).alias("seq"),
             "base_url",
         )
     )

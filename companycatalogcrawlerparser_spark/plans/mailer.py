@@ -39,18 +39,25 @@ def load_templates(spark, root_dir: str, pattern: str = "*.msg") -> DataFrame:
     )
 
 
-def delete_files(root_dir: str, pattern: str = "*.msg") -> list:
+def delete_files(
+    root_dir: str, pattern: str = "*.msg", recursive: bool = False
+) -> list:
     """File janitor — ``DataStructure/Library.fs:57-68`` ``deleteFiles``:
-    recursively delete every file under ``root_dir`` matching ``pattern``
-    (the reference sweeps consumed ``*.msg`` artifacts). Driver-side
-    filesystem utility, not a Spark job — it operates on the same local
-    template directories :func:`load_templates` scans. Returns the deleted
-    paths (the reference prints each; we return them for the caller)."""
+    delete every file under ``root_dir`` matching ``pattern`` (the
+    reference sweeps consumed ``*.msg`` artifacts). Mirrors the reference
+    signature: a ``recursive`` flag that the mailer passes as ``false``
+    (top-level only, ``SearchOption.TopDirectoryOnly``) — subdirectory
+    files are left untouched unless asked. Driver-side filesystem utility,
+    not a Spark job — it operates on the same local template directories
+    :func:`load_templates` scans. Returns the deleted paths (the reference
+    prints each; we return them for the caller)."""
     import fnmatch
     import os
 
     deleted = []
-    for cur, _dirs, files in os.walk(root_dir):
+    for cur, dirs, files in os.walk(root_dir):
+        if not recursive:
+            dirs[:] = []
         for fn in files:
             if fnmatch.fnmatch(fn, pattern):
                 path = os.path.join(cur, fn)

@@ -26,6 +26,7 @@ Pinned semantics (sitemaps.org, minimal-but-real subset):
 
 from __future__ import annotations
 
+import datetime as _dt
 import re
 
 _URL_BLOCK_RE = re.compile(r"<url\b[^>]*>(.*?)</url>", re.IGNORECASE | re.DOTALL)
@@ -81,6 +82,63 @@ def parse_sitemap_index(xml: str) -> list:
             continue
         out.append(loc)
     return out
+
+
+_W3C_DATETIME_RE = re.compile(
+    r"\d{4}(-\d{2}(-\d{2}"
+    r"(T\d{2}:\d{2}(:\d{2}(\.\d+)?)?(Z|[+-]\d{2}:\d{2}))?)?)?"
+)
+
+
+def parse_lastmod(value):
+    """W3C-datetime ``<lastmod>`` → naive UTC datetime, or None.
+
+    Twin of ``operators.sitemap.lastmod_ts``: gated on the same strict
+    W3C-Datetime profile, then partial dates (``YYYY``, ``YYYY-MM``)
+    complete to the first instant of the period; full dates/datetimes
+    (optional fractional seconds, Z / ±hh:mm offset) convert to UTC;
+    anything outside the profile is None (lastmod is advisory — no
+    claim)."""
+    if value is None:
+        return None
+    s = value.strip()
+    if not _W3C_DATETIME_RE.fullmatch(s):
+        return None
+    for cand in (s, s + "-01", s + "-01-01"):
+        try:
+            dt = _dt.datetime.fromisoformat(cand.replace("Z", "+00:00"))
+            break
+        except ValueError:
+            continue
+    else:
+        return None
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return dt
+
+
+def recrawl_select(entries: list, fetch_log: dict) -> list:
+    """Twin of ``operators.sitemap.recrawl_candidates``: ``entries`` is
+    ``crawl_sitemaps`` output rows (root, ord, url, lastmod-string);
+    ``fetch_log`` maps url → last-fetch datetime. Per distinct URL the MAX
+    parsed lastmod wins (None ignored unless all None). Returns sorted
+    (url, lastmod_ts|None, reason) rows for NEW (never fetched) and STALE
+    (lastmod strictly after last fetch) URLs."""
+    best: dict = {}
+    for _root, _ord, url, lastmod in entries:
+        ts = parse_lastmod(lastmod)
+        if url not in best:
+            best[url] = ts
+        elif ts is not None and (best[url] is None or ts > best[url]):
+            best[url] = ts
+    out = []
+    for url, ts in best.items():
+        fetched = fetch_log.get(url)
+        if fetched is None:
+            out.append((url, ts, "new"))
+        elif ts is not None and ts > fetched:
+            out.append((url, ts, "stale"))
+    return sorted(out)
 
 
 def crawl_sitemaps(corpus: dict, roots: list) -> list:

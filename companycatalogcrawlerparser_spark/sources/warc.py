@@ -2,28 +2,159 @@
 
 Reads Common-Crawl-style WARC files (``.warc`` / ``.warc.gz``) into the
 engine's canonical pages schema ``(url, warc_ts, html, text, lang)``
-(input_hint). Semantics pinned by the pure-Python oracle
-``refsem/warc.py`` and hash-verified by the driver row ``warc_ingest``.
+(input_hint). Correctness is pinned two ways:
 
-Execution shape: ``binaryFile`` source (one row per WARC file) → one
-Arrow ``mapInPandas`` stage running the shared record splitter per file.
-One task per WARC file is the standard Common-Crawl processing grain
-(CC segments are ~1 GB gzip members; a task owns a file, records stream
-out of the splitter) — the parallelism unit is the FILE COUNT, which at
-crawl scale is millions of files, far above any executor count. ``text``
-and ``lang`` are left null: they are downstream derivations (extract /
-langid operators), not properties of the raw fetch.
+- the record parser here is an INDEPENDENT implementation (buffered
+  line-reader state machine over the decompressed stream) from the
+  pure-Python oracle ``refsem/warc.py`` (offset-scanning splitter) — the
+  driver row ``warc_ingest`` hash-compares the two, so the check verifies
+  WARC parse semantics, not just Arrow plumbing;
+- ``tests/test_properties.py`` fuzzes both parsers with generated record
+  sets and asserts identical output.
+
+Execution shape — the standard Common-Crawl processing grain: the
+distributed unit is the file PATH, never the file content. A metadata-only
+``binaryFile`` listing (column-pruned to ``path`` — content is never
+scanned) is repartitioned one-path-per-task-ish and a ``mapInPandas``
+stage opens each file INSIDE the task, parses it, and yields that file's
+pages as its own Arrow batch. This bounds peak task memory to ONE file +
+its parsed pages no matter how many path rows share an Arrow batch —
+shipping content-bearing rows instead would let the session's row-count
+batch cap pack hundreds of ~1 GB gzip segments into a single batch (a
+guaranteed task OOM), and shuffling them would move terabytes for nothing.
+Parallelism is bounded by the file count, which at crawl scale is millions
+of files, far above any executor count.
+
+Filesystem note: files are opened with plain ``open`` on the path from
+the listing (``file:`` URIs unwrapped), which covers local/NFS-mounted
+data — this sandbox's layout. On object stores the same shape holds with
+the store's reader client in ``_open_bytes`` (one task = one segment
+stream, e.g. S3 ranged GETs for CC); record-level splitting of a single
+oversized file (scan for ``WARC/`` magics, feed (path, offset, length)
+ranges) is the documented fallback, not needed for the ~1 GB CC layout.
+
+``text`` and ``lang`` are left null: they are downstream derivations
+(extract / langid operators), not properties of the raw fetch.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+import datetime as _dt
+import gzip
+import io
+from typing import Iterator, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
 WARC_PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
 )
+
+_CRLF = b"\r\n"
+
+
+def _warc_datetime(value: str) -> Optional[_dt.datetime]:
+    """ISO-8601 ``WARC-Date`` → naive UTC datetime, or None if invalid."""
+    try:
+        dt = _dt.datetime.fromisoformat(value.replace("Z", "+00:00"))
+    except ValueError:
+        return None
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return dt
+
+
+def parse_warc_pages(data: bytes) -> list:
+    """(url, warc_ts datetime, html bytes) per ``WARC-Type: response``
+    record, in file order — the engine-side parser.
+
+    INDEPENDENT of the oracle ``refsem.warc.pages_from_warc`` by
+    construction: a buffered line-reader state machine (readline until the
+    ``WARC/`` version line, readline header lines to the blank separator,
+    ``read(Content-Length)`` for the block) instead of the oracle's
+    ``bytes.find`` offset scanning — the ``warc_ingest`` hash row compares
+    the two end-to-end. Matching pinned semantics (refsem/warc.py module
+    docstring): ``.warc.gz`` is concatenated gzip members; header names
+    case-insensitive; only response records with a valid target URI + date
+    yield pages; the page html is the HTTP body after the first CRLFCRLF
+    (blocks with no separator taken whole); junk between records is
+    skipped to the next record start; a missing/invalid Content-Length
+    ends the file (can't locate the record boundary)."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+    buf = io.BufferedReader(io.BytesIO(data))
+    out = []
+    while True:
+        line = buf.readline()
+        if not line:
+            break
+        # seek the record start; the version marker may follow junk bytes
+        # mid-line (the oracle resyncs with find("WARC/"))
+        if line.find(b"WARC/") < 0:
+            continue
+        headers = {}
+        terminated = False  # saw the CRLF blank line ending the header block
+        while True:
+            h = buf.readline()
+            if not h:
+                break
+            if h == _CRLF:
+                terminated = True
+                break
+            name, colon, value = h.partition(b":")
+            if colon:
+                headers[
+                    name.strip().decode("latin-1").lower()
+                ] = value.strip().decode("latin-1")
+        if not terminated:
+            # no CRLFCRLF header terminator (truncated / LF-only file):
+            # the record boundary is unlocatable — end of file, like the
+            # oracle's failed CRLFCRLF search
+            break
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        block = buf.read(length)
+        if headers.get("warc-type") == "response":
+            url = headers.get("warc-target-uri")
+            ts = _warc_datetime(headers.get("warc-date", ""))
+            if url and ts is not None:
+                sep = block.find(_CRLF + _CRLF)
+                out.append((url, ts, block if sep < 0 else block[sep + 4:]))
+    return out
+
+
+def warc_files(
+    spark: SparkSession, path: str, glob: str = "*.warc*"
+) -> DataFrame:
+    """Metadata-only listing: one ``path`` row per WARC file, repartitioned
+    to ~one path per task. ``binaryFile`` with the projection pruned to
+    ``path`` never reads file CONTENT — the scan touches listing metadata
+    only (plan-pinned by ``tests/test_warc.py``); bytes are opened inside
+    the :func:`read_warc` task, one file at a time."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path")
+    )
+    n_files = files.count()
+    return files.repartition(max(1, n_files))
+
+
+def _open_bytes(path: str) -> bytes:
+    """One file's bytes, inside the task. ``file:`` URIs (the binaryFile
+    listing form) unwrap to local paths; an object-store deployment swaps
+    this for the store's streaming client."""
+    local = path
+    if local.startswith("file://"):
+        local = local[len("file:"):]
+    elif local.startswith("file:"):
+        local = local[len("file:"):]
+    with open(local, "rb") as f:
+        return f.read()
 
 
 def read_warc(
@@ -32,28 +163,25 @@ def read_warc(
     """Pages DataFrame from every WARC file under ``path``."""
     import pandas as pd  # noqa: F401  (mapInPandas contract)
 
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", glob)
-        .option("recursiveFileLookup", "true")
-        .load(path)
-        .select("path", "content")
-    )
+    files = warc_files(spark, path, glob)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        from ..refsem.warc import pages_from_warc
-
         for b in batches:
-            out = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
-            for content in b["content"]:
-                for url, ts, body in pages_from_warc(bytes(content)):
+            # one yield per FILE: however many path rows share this Arrow
+            # batch, at most one file's bytes + pages are live at a time,
+            # and output batches are bounded by one file's record count
+            for p in b["path"]:
+                out = {
+                    "url": [], "warc_ts": [], "html": [], "text": [], "lang": [],
+                }
+                for url, ts, body in parse_warc_pages(_open_bytes(str(p))):
                     out["url"].append(url)
                     out["warc_ts"].append(ts)
                     out["html"].append(body)
                     out["text"].append(None)
                     out["lang"].append(None)
-            yield pd.DataFrame(out)
+                yield pd.DataFrame(out)
 
     return files.mapInPandas(run, schema=WARC_PAGES_SCHEMA)

@@ -92,14 +92,20 @@ def foreach_batch_merge(
     :class:`~..storage.snapshots.SnapshotStore` — the streaming twin of the
     batch rounds' atomic commit (one manifest per micro-batch, counters
     recorded in the same commit). ``round_id = base_round + batch_id`` so a
-    restarted stream (same checkpoint) re-commits a replayed batch to the
-    SAME round — the manifest rename is idempotent, giving exactly-once
-    table state on top of the sink's at-least-once replay."""
+    restarted stream (same checkpoint) replays a batch to the SAME round;
+    a replayed batch whose manifest already exists is SKIPPED entirely —
+    re-running the overwrite would delete/rewrite data files a committed
+    manifest already points at, so a crash mid-rewrite could leave a
+    committed manifest over partial data. Skipping makes the commit
+    genuinely exactly-once: first completion wins, replays are no-ops."""
 
     def _merge(batch_df: DataFrame, batch_id: int):
+        round_id = base_round + batch_id
+        if round_id in store.committed_rounds():
+            return
         n = batch_df.count()
         store.commit(
-            base_round + batch_id,
+            round_id,
             {table: batch_df},
             counters={"rows": n, "batch_id": batch_id},
         )

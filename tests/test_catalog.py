@@ -169,8 +169,10 @@ class TestMailer:
         assert sorted(r["email_id"] for r in got) == [2, 3]  # min id kept
 
     def test_delete_files_janitor(self, tmp_path):
-        """deleteFiles sweep (DataStructure/Library.fs:57-68): recursive,
-        pattern-scoped, leaves non-matching files alone."""
+        """deleteFiles sweep (DataStructure/Library.fs:57-68): the default
+        mirrors the mailer's recursive=false call — TOP-LEVEL only,
+        subdirectory files untouched; recursive=True sweeps the tree;
+        pattern-scoped, leaves non-matching files alone either way."""
         from companycatalogcrawlerparser_spark.plans import mailer as ML
 
         (tmp_path / "sub").mkdir()
@@ -178,8 +180,11 @@ class TestMailer:
         (tmp_path / "sub" / "b.msg").write_bytes(b"y")
         (tmp_path / "sub" / "keep.txt").write_bytes(b"z")
         deleted = ML.delete_files(str(tmp_path), "*.msg")
-        assert len(deleted) == 2
+        assert len(deleted) == 1
         assert not (tmp_path / "a.msg").exists()
+        assert (tmp_path / "sub" / "b.msg").exists()  # ref: TopDirectoryOnly
+        deleted = ML.delete_files(str(tmp_path), "*.msg", recursive=True)
+        assert len(deleted) == 1
         assert not (tmp_path / "sub" / "b.msg").exists()
         assert (tmp_path / "sub" / "keep.txt").exists()
 

@@ -533,6 +533,43 @@ class TestStreaming:
             store.manifest(r)["counters"]["rows"] > 0 for r in rounds
         )
 
+    def test_foreach_batch_merge_replay_skips_committed_round(
+        self, spark, tmp_path
+    ):
+        """A replayed batch whose manifest already exists is a NO-OP:
+        re-running the overwrite would delete data files the committed
+        manifest points at (a crash mid-rewrite = committed manifest over
+        partial data). First completion wins; table state is unchanged."""
+        from companycatalogcrawlerparser_spark.storage.snapshots import SnapshotStore
+        from companycatalogcrawlerparser_spark.streaming import events as SE
+        import datetime as dt
+
+        base = dt.datetime(2026, 1, 1, 10, 0, 0)
+        src = str(tmp_path / "replay_in")
+        spark.createDataFrame(
+            [(base, "http://a.ru/p", "a.ru", 1, True, 100, 0)],
+            SE.FETCH_EVENT_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        store = SnapshotStore(spark, str(tmp_path / "snap"))
+        # round 0 already committed (the pre-crash completion)
+        pre = spark.createDataFrame(
+            [(base, "http://pre.ru/x", "pre.ru", 9, True, 1, 0)],
+            SE.FETCH_EVENT_SCHEMA,
+        )
+        store.commit(0, {"fetch_events": pre}, counters={"rows": 1})
+        pre_rows = [r["url"] for r in store.read(0, "fetch_events").collect()]
+
+        stream = spark.readStream.schema(SE.FETCH_EVENT_SCHEMA).parquet(src)
+        SE.foreach_batch_merge(
+            stream, store, "fetch_events", str(tmp_path / "replay_ckpt")
+        )
+        # replay (batch_id 0 → round 0) skipped: committed state untouched
+        assert store.committed_rounds() == [0]
+        assert [
+            r["url"] for r in store.read(0, "fetch_events").collect()
+        ] == pre_rows
+
 
 class TestCuckooFilter:
     """url_seen's cuckoo variant (north_star: 'bloom/cuckoo filters')."""

@@ -194,3 +194,107 @@ class TestSitemapProperties:
         for loc, _lm in RSM.parse_sitemap(xml):
             assert loc.startswith(("http://", "https://"))
             assert loc == loc.strip()
+
+
+class TestWarcParserAgreement:
+    """The engine WARC parser (sources/warc.py line-reader state machine)
+    and the refsem oracle (offset scanner) are INDEPENDENT implementations
+    of the same pinned subset; fuzz generated files through both. This
+    agreement is what upgrades the warc_ingest hash row from a plumbing
+    check to a semantic check (round-3 advice)."""
+
+    _body = st.binary(max_size=60)
+    _uri = st.one_of(
+        st.none(),
+        st.builds(lambda h, p: f"http://{h}/{p}", st.sampled_from(
+            ["a.ru", "b.com", "c.org"]), st.text(
+            alphabet=string.ascii_lowercase, max_size=8)),
+    )
+    _date = st.one_of(
+        st.sampled_from([
+            "2025-06-01T10:00:00Z", "2025-06-01T10:00:05.250000Z",
+            "2025-12-31T23:59:59+02:00", "not-a-date", "",
+        ]),
+        st.text(alphabet=string.digits + "-:TZ.", max_size=24),
+    )
+    _record = st.builds(
+        lambda typ, uri, date, body, http: (typ, uri, date, body, http),
+        st.sampled_from(["response", "request", "warcinfo", "metadata"]),
+        _uri, _date, _body, st.booleans(),
+    )
+
+    @staticmethod
+    def _serialize(records, junk=b""):
+        out = [junk]
+        for typ, uri, date, body, http in records:
+            block = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+                if http else body
+            )
+            head = [b"WARC/1.0", b"WARC-Type: " + typ.encode()]
+            if uri is not None:
+                head.append(b"WARC-Target-URI: " + uri.encode())
+            head.append(b"WARC-Date: " + date.encode("utf-8", "ignore"))
+            head.append(b"Content-Length: " + str(len(block)).encode())
+            out.append(b"\r\n".join(head) + b"\r\n\r\n" + block + b"\r\n\r\n")
+        return b"".join(out)
+
+    @SETTINGS
+    @given(st.lists(_record, max_size=6),
+           st.sampled_from([b"", b"junk-prefix", b"\r\n\r\n"]))
+    def test_engine_matches_oracle(self, records, junk):
+        from companycatalogcrawlerparser_spark.refsem import warc as RW
+        from companycatalogcrawlerparser_spark.sources.warc import (
+            parse_warc_pages,
+        )
+
+        data = self._serialize(records, junk)
+        assert parse_warc_pages(data) == RW.pages_from_warc(data)
+
+    @SETTINGS
+    @given(st.lists(_record, min_size=1, max_size=4))
+    def test_engine_matches_oracle_gzip_members(self, records):
+        """CC layout: one gzip member per record, concatenated."""
+        import gzip
+
+        from companycatalogcrawlerparser_spark.refsem import warc as RW
+        from companycatalogcrawlerparser_spark.sources.warc import (
+            parse_warc_pages,
+        )
+
+        data = b"".join(
+            gzip.compress(self._serialize([r])) for r in records
+        )
+        assert parse_warc_pages(data) == RW.pages_from_warc(data)
+
+
+class TestLastmodPartialDates:
+    """W3C-datetime lastmod parsing (refsem.sitemap.parse_lastmod, the
+    twin of operators.sitemap.lastmod_ts): partial dates complete to the
+    first instant of their period; offsets normalize to UTC; junk is None."""
+
+    @SETTINGS
+    @given(st.integers(2000, 2099), st.integers(1, 12), st.integers(1, 28))
+    def test_partial_prefixes_nest(self, y, m, d):
+        full = RSM.parse_lastmod(f"{y:04d}-{m:02d}-{d:02d}")
+        month = RSM.parse_lastmod(f"{y:04d}-{m:02d}")
+        year = RSM.parse_lastmod(f"{y:04d}")
+        assert year.month == 1 and year.day == 1
+        assert month.year == y and month.day == 1
+        assert year <= month <= full
+
+    @SETTINGS
+    @given(st.integers(2000, 2099), st.integers(1, 12), st.integers(1, 28),
+           st.integers(0, 23), st.integers(0, 59), st.sampled_from(
+               ["Z", "+00:00", "+02:00", "-05:30"]))
+    def test_offsets_normalize_to_utc(self, y, m, d, hh, mm, tz):
+        import datetime as dt
+
+        got = RSM.parse_lastmod(f"{y:04d}-{m:02d}-{d:02d}T{hh:02d}:{mm:02d}:00{tz}")
+        offs = {"Z": 0, "+00:00": 0, "+02:00": 120, "-05:30": -330}[tz]
+        want = dt.datetime(y, m, d, hh, mm) - dt.timedelta(minutes=offs)
+        assert got == want
+
+    def test_junk_is_none(self):
+        for junk in ("", "yesterday", "2025-13", "20250601", "2025-06-31"):
+            assert RSM.parse_lastmod(junk) is None

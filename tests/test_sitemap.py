@@ -110,6 +110,68 @@ class TestSparkSitemap:
             "http://a.ru/stale": "stale",
         }
 
+    def test_recrawl_duplicate_urls_max_lastmod_wins(self, spark):
+        """A URL in several sitemaps keeps the MAX lastmod (null ignored):
+        any sitemap claiming a newer change triggers stale —
+        deterministically, unlike a dropDuplicates keep-any."""
+        import datetime as dt
+
+        entries = spark.createDataFrame(
+            [
+                # dup across roots: older + NEWER + null lastmod → stale
+                ("http://a.ru/sm", 0, "http://a.ru/p", "2025-06-01"),
+                ("http://b.ru/sm", 0, "http://a.ru/p", "2025-06-10"),
+                ("http://c.ru/sm", 0, "http://a.ru/p", None),
+                # dup where every copy is older → not stale
+                ("http://a.ru/sm", 1, "http://a.ru/q", "2025-06-01"),
+                ("http://b.ru/sm", 1, "http://a.ru/q", "2025-06-02"),
+                # partial W3C dates: month/year complete to period start
+                ("http://a.ru/sm", 2, "http://a.ru/m", "2025-07"),
+                ("http://a.ru/sm", 3, "http://a.ru/y", "2026"),
+            ],
+            "root_url string, ord long, url string, lastmod string",
+        )
+        fetched = dt.datetime(2025, 6, 5)
+        log = spark.createDataFrame(
+            [(u, fetched) for u in (
+                "http://a.ru/p", "http://a.ru/q",
+                "http://a.ru/m", "http://a.ru/y",
+            )],
+            "url string, last_fetch_ts timestamp",
+        )
+        got = {
+            r["url"]: (r["reason"], r["lastmod_ts"])
+            for r in SM.recrawl_candidates(entries, log).collect()
+        }
+        assert got == {
+            "http://a.ru/p": ("stale", dt.datetime(2025, 6, 10)),
+            "http://a.ru/m": ("stale", dt.datetime(2025, 7, 1)),
+            "http://a.ru/y": ("stale", dt.datetime(2026, 1, 1)),
+        }
+
+    def test_lastmod_spark_matches_python_twin(self, spark):
+        """lastmod_ts (Spark) and refsem parse_lastmod (Python) agree on
+        every W3C form and on junk — both gate on the same strict
+        profile, so parser-leniency differences can't leak through."""
+        vals = [
+            "2025", "2025-06", "2025-06-01",
+            "2025-06-01T10:00Z", "2025-06-01T10:00:05Z",
+            "2025-06-01T10:00:05.250000Z",
+            "2025-06-01T10:00:05+02:00", "2025-06-01T10:00:05-05:30",
+            "  2025-06-01  ",          # trimmed
+            "", "yesterday", "20250601", "2025-6-1", "2025-13",
+            "2025-06-31", "2025-06-01T10", "2025-06-01 10:00:05Z",
+        ]
+        df = spark.createDataFrame([(v,) for v in vals], "lastmod string")
+        got = {
+            r["lastmod"]: r["ts"]
+            for r in df.select(
+                "lastmod", SM.lastmod_ts(F.col("lastmod")).alias("ts")
+            ).collect()
+        }
+        for v in vals:
+            assert got[v] == RSM.parse_lastmod(v), repr(v)
+
     def test_crawl_use_sitemaps_finds_hidden_contact(self, spark, tmp_path):
         """CrawlConfig.use_sitemaps e2e: a site whose homepage has NO
         contact link still yields its contact-page email via

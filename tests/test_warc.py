@@ -7,7 +7,11 @@ from pyspark.sql import functions as F
 
 from companycatalogcrawlerparser_spark import harness as H
 from companycatalogcrawlerparser_spark.refsem import warc as RW
-from companycatalogcrawlerparser_spark.sources.warc import read_warc
+from companycatalogcrawlerparser_spark.sources.warc import (
+    parse_warc_pages,
+    read_warc,
+    warc_files,
+)
 
 
 class TestRefsemWarc:
@@ -44,6 +48,55 @@ class TestRefsemWarc:
         # leading junk before the first record marker is skipped
         data = b"JUNK" + H.warc_fixture_bytes()["seg-a.warc"]
         assert len(RW.pages_from_warc(data)) == 2
+
+
+class TestEngineParserIndependence:
+    """The engine-side parser (line-reader state machine) is a separate
+    implementation from the refsem oracle (offset scanner); these pin
+    their agreement on every fixture and the adversarial cases — the
+    agreement is what makes the warc_ingest hash row a semantic check,
+    not a plumbing check."""
+
+    def test_matches_oracle_on_all_fixtures(self):
+        for name, data in H.warc_fixture_bytes().items():
+            assert parse_warc_pages(data) == RW.pages_from_warc(data), name
+
+    def test_matches_oracle_on_garbage(self):
+        for data in (
+            b"",
+            b"not a warc at all",
+            b"JUNK" + H.warc_fixture_bytes()["seg-a.warc"],
+            H.warc_fixture_bytes()["seg-a.warc"][:100],  # truncated header
+            H.warc_fixture_bytes()["seg-a.warc"][:-30],  # truncated block
+            H.warc_fixture_bytes()["seg-a.warc"].replace(b"\r\n", b"\n"),
+        ):
+            assert parse_warc_pages(data) == RW.pages_from_warc(data)
+
+    def test_bad_content_length_ends_file_in_both(self):
+        data = H.warc_fixture_bytes()["seg-a.warc"].replace(
+            b"Content-Length", b"X-Content-Length", 1
+        )
+        assert parse_warc_pages(data) == RW.pages_from_warc(data)
+
+
+class TestBatchSizing:
+    def test_content_never_enters_arrow_batches(self, spark):
+        """The OOM-relevant invariant at CC scale (~1 GB gzip segments):
+        file CONTENT never rides in Arrow rows — only paths do, and bytes
+        are opened inside the task one file at a time. The listing scan
+        must be column-pruned to path (no content in ReadSchema)."""
+        files = warc_files(spark, H.warc_dir())
+        assert files.columns == ["path"]
+        plan = files._sc._jvm.PythonSQLUtils.explainString(
+            files._jdf.queryExecution(), "formatted"
+        )
+        assert "content" not in plan
+
+    def test_paths_spread_one_per_task(self, spark):
+        files = warc_files(spark, H.warc_dir())
+        n_files = files.count()
+        assert n_files >= 2
+        assert files.rdd.getNumPartitions() == n_files
 
 
 class TestSparkWarcSource:
