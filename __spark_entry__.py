@@ -521,8 +521,11 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    out = D.ngram_jaccard_pairs(d, threshold=0.3)
+    # 200 docs / threshold 0.27 ≈ 70 pairs at sf0.01, spanning the
+    # boundary (a handful of ~0.97 near-dups + a 0.27-0.30 tail) — wide
+    # enough that the hash row actually pins the jaccard arithmetic
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = D.ngram_jaccard_pairs(d, threshold=0.27)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -635,8 +638,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """49 keys — deliberately UNDER the driver's observed 50-row record
-    limit (round 2 registered 67 and the driver recorded exactly the
+    """50 keys — exactly the driver's observed 50-row record limit
+    (round 2 registered 67 and the driver recorded exactly the
     first 50, dropping the crawl-surface hard signal). Redundant rows are
     folded into multi-column / labeled-union rows (operator coverage map:
     docs/COVERAGE.md); cheap TPC-H-shaped rows run first, then the
@@ -692,6 +695,7 @@ def _crawl_harness_queries():
         **_H.CRAWL_QUERIES,
         "robots_gate": _H.q_robots_gate,
         "sitemap_ingest": _H.q_sitemap_ingest,
+        "recrawl_select": _H.q_recrawl_select,
         "warc_ingest": _H.q_warc_ingest,
     }
 
@@ -704,6 +708,7 @@ def _crawl_harness_oracle_sql():
     out["s7_template_scan"] = _H.s7_oracle_sql()
     out["robots_gate"] = _H.robots_oracle_sql()
     out["sitemap_ingest"] = _H.sitemap_oracle_sql()
+    out["recrawl_select"] = _H.recrawl_oracle_sql()
     out["warc_ingest"] = _H.warc_oracle_sql()
     return out
 
@@ -1015,7 +1020,7 @@ FROM capped a JOIN capped b
   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 """,
         "ngram_jaccard": f"""
-WITH docs AS (SELECT * FROM documents WHERE doc_id < 100),
+WITH docs AS (SELECT * FROM documents WHERE doc_id < 200),
 sh AS (SELECT DISTINCT doc_id, substring({norm_text}, i, 5) AS shingle
        FROM docs, LATERAL unnest(generate_series(1, greatest(length({norm_text}) - 4, 1))) AS u(i)),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -1024,7 +1029,7 @@ shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
            GROUP BY 1, 2)
 SELECT id_a, id_b, round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
 FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.3
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.27
 """,
         "simhash_groups": f"""
 WITH toks AS (

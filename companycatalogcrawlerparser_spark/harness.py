@@ -24,6 +24,7 @@ seq values (admission.py docstring).
 
 from __future__ import annotations
 
+import datetime
 import os
 import tempfile
 
@@ -919,11 +920,16 @@ SITEMAP_ROOTS = [
 def q_sitemap_ingest(spark, sf_dir) -> DataFrame:
     from .operators import sitemap as SM
 
+    # coalesce(1): the fixture is 4 documents — without it every join /
+    # window stage in the two-round plan schedules default-parallelism
+    # empty tasks, pure overhead in a row whose point is semantics
     pages = spark.createDataFrame(
         [(u, bytearray(x.encode())) for u, x in SITEMAP_FIXTURES.items()],
         "url string, html binary",
-    )
-    roots = spark.createDataFrame([(u,) for u in SITEMAP_ROOTS], ["url"])
+    ).coalesce(1)
+    roots = spark.createDataFrame(
+        [(u,) for u in SITEMAP_ROOTS], ["url"]
+    ).coalesce(1)
     return SM.sitemap_urls(pages, roots)
 
 
@@ -941,6 +947,111 @@ def sitemap_oracle_sql() -> str:
     return (
         "SELECT root_url, ord, url, lastmod FROM "
         f"read_parquet('{os.path.join(d, 'sitemap_ingest.parquet')}')"
+    )
+
+
+# ---------------------------------------------------------------------------
+# recrawl selection + sitemap seed dedup (engine-new) — labeled-union row
+
+# Fixtures exercise the recrawl contract's hard cases: one URL in THREE
+# sitemaps with differing lastmods (max must win — incl. an out-of-profile
+# value that parses to null), partial W3C dates (YYYY-MM / YYYY), a
+# timezone offset normalizing to UTC, and a never-fetched URL.
+RECRAWL_FIXTURES = {
+    "http://firm-d.ru/sitemap.xml": (
+        "<urlset>"
+        "<url><loc>http://firm-d.ru/p</loc><lastmod>2025-06-01</lastmod></url>"
+        "<url><loc>http://firm-d.ru/new</loc></url>"
+        "<url><loc>http://firm-d.ru/q</loc><lastmod>2025-06-02</lastmod></url>"
+        "<url><loc>http://firm-d.ru/m</loc><lastmod>2025-07</lastmod></url>"
+        "</urlset>"
+    ),
+    "http://firm-e.ru/sitemap.xml": (
+        "<urlset>"
+        "<url><loc>http://firm-d.ru/p</loc><lastmod>2025-06-10</lastmod></url>"
+        "<url><loc>http://firm-d.ru/p</loc><lastmod>20250615</lastmod></url>"
+        "<url><loc>http://firm-d.ru/y</loc><lastmod>2026</lastmod></url>"
+        "<url><loc>http://firm-e.ru/old</loc><lastmod>2025-01-01</lastmod></url>"
+        "<url><loc>http://firm-e.ru/tz</loc>"
+        "<lastmod>2025-06-05T12:00:00+02:00</lastmod></url>"
+        "</urlset>"
+    ),
+}
+
+RECRAWL_ROOTS = sorted(RECRAWL_FIXTURES)
+
+# last-fetch stamps: chosen so /p /m /y /tz go stale, /q /old stay fresh,
+# /new is never-fetched
+RECRAWL_FETCH_LOG = [
+    ("http://firm-d.ru/p", datetime.datetime(2025, 6, 5)),
+    ("http://firm-d.ru/q", datetime.datetime(2025, 6, 5)),
+    ("http://firm-d.ru/m", datetime.datetime(2025, 6, 5)),
+    ("http://firm-d.ru/y", datetime.datetime(2025, 6, 5)),
+    ("http://firm-e.ru/old", datetime.datetime(2025, 6, 5)),
+    ("http://firm-e.ru/tz", datetime.datetime(2025, 6, 5, 9, 0)),
+]
+
+
+def q_recrawl_select(spark, sf_dir) -> DataFrame:
+    """Labeled union: kind='recrawl' rows are recrawl_candidates decisions
+    (label = new|stale, ts = winning lastmod); kind='seeds' rows are
+    seeds_from_sitemaps first-occurrence dedup (label = the kept
+    occurrence's raw lastmod string, ts = null)."""
+    from .operators import sitemap as SM
+
+    pages = spark.createDataFrame(
+        [(u, bytearray(x.encode())) for u, x in RECRAWL_FIXTURES.items()],
+        "url string, html binary",
+    ).coalesce(1)
+    roots = spark.createDataFrame(
+        [(u,) for u in RECRAWL_ROOTS], ["url"]
+    ).coalesce(1)
+    entries = SM.sitemap_urls(pages, roots)
+    log = spark.createDataFrame(
+        RECRAWL_FETCH_LOG, "url string, last_fetch_ts timestamp"
+    ).coalesce(1)
+    rc = SM.recrawl_candidates(entries, log).select(
+        F.lit("recrawl").alias("kind"),
+        "url",
+        F.col("lastmod_ts").alias("ts"),
+        F.col("reason").alias("label"),
+    )
+    seeds = SM.seeds_from_sitemaps(pages, roots).select(
+        F.lit("seeds").alias("kind"),
+        "url",
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.col("lastmod").alias("label"),
+    )
+    return rc.unionByName(seeds)
+
+
+def recrawl_oracle_sql() -> str:
+    from .refsem import sitemap as RSM
+
+    d = oracle_dir()
+    entries = RSM.crawl_sitemaps(RECRAWL_FIXTURES, RECRAWL_ROOTS)
+    rows = [
+        ("recrawl", url, ts, reason)
+        for url, ts, reason in RSM.recrawl_select(
+            entries, dict(RECRAWL_FETCH_LOG)
+        )
+    ]
+    # seeds twin: first occurrence per url by (root_url, ord) string order
+    # — exactly the Spark window's orderBy("root_url", "ord")
+    seen: dict = {}
+    for root, ordv, url, lastmod in sorted(entries, key=lambda r: (r[0], r[1])):
+        if url not in seen:
+            seen[url] = lastmod
+    rows += [("seeds", url, None, lm) for url, lm in seen.items()]
+    _write(d, "recrawl_select", {
+        "kind": [r[0] for r in rows],
+        "url": [r[1] for r in rows],
+        "ts": [r[2] for r in rows],
+        "label": [r[3] for r in rows],
+    })
+    return (
+        "SELECT kind, url, ts, label FROM "
+        f"read_parquet('{os.path.join(d, 'recrawl_select.parquet')}')"
     )
 
 

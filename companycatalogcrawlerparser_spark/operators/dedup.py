@@ -96,6 +96,7 @@ def minhash_lsh_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 5, num_hashes: int = 12, bands: int = 4,
     max_bucket: int | None = 256,
+    observation=None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) that collide in ≥1 LSH band.
 
@@ -113,6 +114,13 @@ def minhash_lsh_pairs(
     hot buckets is traded for bounded task size, and any consumer of the
     capped default should surface :func:`lsh_oversized_buckets` next to
     its results (ADVICE r02 — truncation must be visible at call sites).
+
+    Pass a ``pyspark.sql.Observation`` as ``observation`` to get the
+    skipped volume IN the same job that computes the pairs (no second
+    scan): after any action on the result, ``observation.get`` carries
+    ``skipped_rows`` (doc-band memberships excluded by the cap) and
+    ``max_bucket_seen`` — so the 256-default can never silently cost
+    recall at a call site that wires the metric.
     """
     # checkpoint the banded signatures: three consumers below (window count
     # + both sides of the self-join) would otherwise recompute the shingle
@@ -128,11 +136,16 @@ def minhash_lsh_pairs(
         capped = banded
     else:
         bw = Window.partitionBy("band", "key")
-        capped = (
-            banded.withColumn("__n", F.count("*").over(bw))
-            .filter(F.col("__n") <= max_bucket)
-            .drop("__n")
-        )
+        marked = banded.withColumn("__n", F.count("*").over(bw))
+        if observation is not None:
+            marked = marked.observe(
+                observation,
+                F.sum(
+                    F.when(F.col("__n") > max_bucket, 1).otherwise(0)
+                ).alias("skipped_rows"),
+                F.max("__n").alias("max_bucket_seen"),
+            )
+        capped = marked.filter(F.col("__n") <= max_bucket).drop("__n")
 
     a = capped.alias("a")
     b = capped.alias("b")

@@ -238,6 +238,25 @@ class TestDedup:
         rows = over.collect()
         assert rows and all(r["n_docs"] == 1000 for r in rows)
 
+    def test_lsh_skew_cap_observed_in_same_job(self, spark):
+        """The skipped volume is observable AT the call site, in the same
+        job as the pairs (Observation metric) — the 256-default can't
+        silently cost recall; no second scan needed."""
+        from pyspark.sql import Observation
+
+        clones = [(i, "identical clone text for the hot bucket") for i in range(300)]
+        normals = [(10_000 + i, t) for i, t in self.DOCS[:4]]
+        df = spark.createDataFrame(clones + normals, ["doc_id", "text"])
+        obs = Observation("lsh_skew")
+        pairs = D.minhash_lsh_pairs(
+            df, num_hashes=8, bands=4, max_bucket=64, observation=obs
+        )
+        pairs.count()  # any action completes the metric
+        got = obs.get
+        # 300 clones × 4 bands = 1200 doc-band memberships skipped
+        assert got["skipped_rows"] == 1200
+        assert got["max_bucket_seen"] == 300
+
     def test_simhash_plan_hashes_each_token_once(self, spark):
         """The md5 hoist (VERDICT r01 #9): exactly one md5 call in the
         simhash expression tree, not one per hex digit."""
