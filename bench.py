@@ -5,6 +5,14 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
 line: {"metric": ..., "value": <total sec>, "unit": "sec",
 "queries": {name: sec}, "sf": ..., "throughput": {...}}.
 
+Measurement discipline (round-4): the suite runs --reps times
+($SPARK_GRAFT_BENCH_REPS, default 2) and reports per-query BEST-of-N
+("queries") with every raw sample in "all_runs" — this VM's wall-time
+swing between identical runs is ±45%, so a single shot is not a
+measurement. A fixed JVM-regex ceiling control (zero engine code) runs
+first and lands in "control": compare it across rounds before reading
+meaning into engine deltas.
+
 Headline components:
 - crawl:  end-to-end crawl (webgen corpus → frontier rounds → emails) —
   throughput reported as pages fetched+extracted/sec and frontier URLs
@@ -146,6 +154,48 @@ def run_query_bench(spark, sf_dir: str) -> dict:
     return out
 
 
+def run_ceiling_control(spark, cores: int) -> dict:
+    """Fixed JVM-regex workload (regexp_extract_all over 100k synthetic
+    pages — the crawl extract's work class, zero engine code): a
+    machine-state probe that makes each round's bench self-normalizing.
+    Compare ``control.elapsed`` across BENCH_r{N}.json files before
+    reading meaning into engine wall-time deltas — this VM's measured
+    swing on the IDENTICAL control is 0.29×-0.99× across sessions."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(100_000).withColumn(
+        "html",
+        F.concat(
+            F.lit("<html><body>"),
+            F.repeat(
+                F.concat(
+                    F.lit('<a href="http://h'),
+                    (F.col("id") % 97).cast("string"),
+                    F.lit('.ru/p">x</a> filler filler filler '),
+                ),
+                600,
+            ),
+            F.lit("</body></html>"),
+        ),
+    ).persist()
+    base.count()  # resident before timing
+    t0 = time.monotonic()
+    n = (
+        base.select(
+            F.size(
+                F.regexp_extract_all(
+                    "html", F.lit("(?:href)=[\"|']?(.*?)[\"|'|>]+"), 1
+                )
+            ).alias("k")
+        )
+        .agg(F.sum("k"))
+        .first()[0]
+    )
+    dt = time.monotonic() - t0
+    base.unpersist()
+    return {"elapsed_sec": round(dt, 2), "matches": int(n), "cores": cores}
+
+
 def main_default(args):
     spark = _spark(args.cores)
     corpus_dir = args.corpus_dir or tempfile.mkdtemp(prefix="bench_corpus_")
@@ -153,15 +203,30 @@ def main_default(args):
     if own_corpus or not os.path.exists(f"{corpus_dir}/pages"):
         gen_corpus(spark, args.companies, corpus_dir, args.filler_kb)
 
-    crawl_out = tempfile.mkdtemp(prefix="bench_crawl_")
-    crawl = run_crawl_bench(spark, corpus_dir, crawl_out, args.cores)
-    queries = run_query_bench(spark, args.sf_dir)
-    shutil.rmtree(crawl_out, ignore_errors=True)
+    # control first: normalizes the round's numbers against VM state and
+    # doubles as JVM/codegen warmup so rep 1 isn't JIT-skewed
+    control = run_ceiling_control(spark, args.cores)
+
+    # best-of-N (VM wall-time swings are ±45% between identical runs —
+    # the MIN is the capability estimate, the spread is the noise bar)
+    crawl_runs, query_runs = [], []
+    for _rep in range(max(1, args.reps)):
+        crawl_out = tempfile.mkdtemp(prefix="bench_crawl_")
+        crawl_runs.append(run_crawl_bench(spark, corpus_dir, crawl_out, args.cores))
+        query_runs.append(run_query_bench(spark, args.sf_dir))
+        shutil.rmtree(crawl_out, ignore_errors=True)
     if own_corpus:
         shutil.rmtree(corpus_dir, ignore_errors=True)
 
+    crawl = min(crawl_runs, key=lambda r: r["elapsed_sec"])
+    queries = {
+        name: min(run[name] for run in query_runs) for name in query_runs[0]
+    }
     total = round(crawl["elapsed_sec"] + sum(queries.values()), 2)
     queries = {"crawl_e2e": crawl["elapsed_sec"], **queries}
+    all_runs = {"crawl_e2e": [r["elapsed_sec"] for r in crawl_runs]}
+    for name in query_runs[0]:
+        all_runs[name] = [run[name] for run in query_runs]
     print(
         json.dumps(
             {
@@ -170,6 +235,9 @@ def main_default(args):
                 "unit": "sec",
                 "queries": queries,
                 "sf": args.sf_dir.rstrip("/").split("sf")[-1],
+                "reps": max(1, args.reps),
+                "all_runs": all_runs,
+                "control": control,
                 "throughput": {
                     "pages_fetched_extracted_per_sec": crawl["pages_per_sec"],
                     "frontier_urls_dequeued_per_sec": crawl["urls_dequeued_per_sec"],
@@ -330,6 +398,10 @@ if __name__ == "__main__":
     ap.add_argument("--filler-kb", type=int, default=int(os.environ.get("SPARK_GRAFT_FILLER_KB", "0")))
     ap.add_argument("--take-limit", type=int, default=100000)
     ap.add_argument("--json-out", default=None)
+    ap.add_argument(
+        "--reps", type=int,
+        default=int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")),
+    )
     args = ap.parse_args()
     if args.crawl_only:
         main_crawl_only(args)
