@@ -910,21 +910,44 @@ SITEMAP_FIXTURES = {
     ),
 }
 
+# gzip-compressed sitemap (sitemaps.org allows .xml.gz; mtime pinned for
+# byte-determinism) — the magic-byte Arrow branch + refsem doc_text twin
+def _gz_xml(xml: str) -> bytes:
+    import gzip as _gzip
+
+    return _gzip.compress(xml.encode(), mtime=0)
+
+
+SITEMAP_FIXTURES["http://firm-g.ru/sitemap.xml.gz"] = _gz_xml(
+    "<urlset><url><loc>http://firm-g.ru/</loc>"
+    "<lastmod>2025-05-06</lastmod></url>"
+    "<url><loc>http://firm-g.ru/contact</loc></url></urlset>"
+)
+
 SITEMAP_ROOTS = [
     "http://firm-a.ru/sitemap.xml",
     "http://firm-b.ru/sitemap.xml",
     "http://firm-c.ru/sitemap.xml",  # not in corpus → no rows
+    "http://firm-g.ru/sitemap.xml.gz",  # gzip member
 ]
+
+
+def sitemap_fixture_bytes() -> list:
+    """(url, bytes) corpus rows — str fixtures encode, gz stay raw."""
+    return [
+        (u, x if isinstance(x, (bytes, bytearray)) else x.encode())
+        for u, x in SITEMAP_FIXTURES.items()
+    ]
 
 
 def q_sitemap_ingest(spark, sf_dir) -> DataFrame:
     from .operators import sitemap as SM
 
-    # coalesce(1): the fixture is 4 documents — without it every join /
+    # coalesce(1): the fixture is 5 documents — without it every join /
     # window stage in the two-round plan schedules default-parallelism
     # empty tasks, pure overhead in a row whose point is semantics
     pages = spark.createDataFrame(
-        [(u, bytearray(x.encode())) for u, x in SITEMAP_FIXTURES.items()],
+        [(u, bytearray(x)) for u, x in sitemap_fixture_bytes()],
         "url string, html binary",
     ).coalesce(1)
     roots = spark.createDataFrame(

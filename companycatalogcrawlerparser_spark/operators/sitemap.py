@@ -46,8 +46,55 @@ def _clean_loc(col):
     return F.when(c == "", F.lit(None)).otherwise(c)
 
 
-def _xml(col):
-    return F.decode(col, "UTF-8")
+GZIP_MAGIC = b"\x1f\x8b"
+
+
+def _gunzip_udf():
+    """Arrow-vectorized gunzip for the gzip-compressed sitemap files the
+    protocol allows (sitemaps.org: .xml.gz, ≤50 MB uncompressed). Runs
+    ONLY on the magic-byte-filtered branch of already-joined sitemap
+    documents — never on the pages corpus — so the Python stage touches
+    at most (#roots + #nested-sitemaps) rows, bounded by the protocol."""
+    from pyspark.sql.functions import pandas_udf
+
+    def one(b):
+        import gzip
+
+        if b is None:
+            return None
+        data = bytes(b)
+        try:
+            data = gzip.decompress(data)
+        except Exception:  # BadGzipFile(OSError) | zlib.error | EOFError
+            # corrupt member: keep the raw bytes — the XML block
+            # regexes simply find nothing (skip, never fatal)
+            pass
+        return data.decode("utf-8", "replace")
+
+    # NB lambda (no type hints): the module's `from __future__ import
+    # annotations` stringifies hints, which pandas_udf's signature
+    # inspection rejects in Spark 4
+    return pandas_udf(lambda col: col.map(one), "string")
+
+
+def _with_xml(docs: DataFrame, cols: list, gzip_support: bool) -> DataFrame:
+    """``__raw`` binary → ``xml`` string, transparently gunzipping rows
+    with the gzip magic when ``gzip_support``. Plain-XML rows stay fully
+    JVM-native (split-union): the Arrow stage exists only on the
+    gz-filtered branch."""
+    raw = F.col("__raw")
+    if not gzip_support:
+        return docs.select(*cols, F.decode(raw, "UTF-8").alias("xml"))
+    is_gz = F.coalesce(
+        F.substring(raw, 1, 2) == F.lit(GZIP_MAGIC), F.lit(False)
+    )
+    plain = docs.filter(~is_gz).select(
+        *cols, F.decode(raw, "UTF-8").alias("xml")
+    )
+    gz = docs.filter(is_gz).select(
+        *cols, _gunzip_udf()(raw).alias("xml")
+    )
+    return plain.unionByName(gz)
 
 
 def _is_http(col):
@@ -76,16 +123,26 @@ def _urlset_entries(docs: DataFrame, xml_col: str) -> DataFrame:
     )
 
 
-def sitemap_urls(pages: DataFrame, roots: DataFrame) -> DataFrame:
+def sitemap_urls(
+    pages: DataFrame, roots: DataFrame, gzip_support: bool = True
+) -> DataFrame:
     """(root_url, ord, url, lastmod) for every root sitemap URL —
     ``<sitemapindex>`` roots expand through a second corpus join; missing
-    fetches (corpus has no row) drop out, exactly the oracle walk."""
+    fetches (corpus has no row) drop out, exactly the oracle walk.
+    ``gzip_support`` (default on) transparently decompresses
+    gzip-compressed sitemap files (magic-byte branch, Arrow UDF over
+    protocol-bounded document counts only); pass False for the
+    all-native-plan variant when the corpus is known plain."""
     corpus = pages.select(
-        F.col("url").alias("__fetch_url"), _xml(F.col("html")).alias("__xml")
+        F.col("url").alias("__fetch_url"), F.col("html").alias("__corpus_raw")
     )
-    a = roots.select(F.col("url").alias("root_url")).join(
-        corpus, F.col("root_url") == F.col("__fetch_url")
-    ).select("root_url", F.col("__xml").alias("xml"))
+    a = _with_xml(
+        roots.select(F.col("url").alias("root_url"))
+        .join(corpus, F.col("root_url") == F.col("__fetch_url"))
+        .select("root_url", F.col("__corpus_raw").alias("__raw")),
+        ["root_url"],
+        gzip_support,
+    )
 
     is_index = F.col("xml").rlike(r"(?i)<sitemapindex\b")
     direct = a.filter(~is_index).select(
@@ -97,11 +154,13 @@ def sitemap_urls(pages: DataFrame, roots: DataFrame) -> DataFrame:
         "root_url", F.posexplode(nested_locs).alias("nested_pos", "block")
     )
     nested_url = _clean_loc(F.regexp_extract(F.col("block"), _LOC, 1))
-    nested = (
+    nested = _with_xml(
         idx.select("root_url", "nested_pos", nested_url.alias("nested_url"))
         .filter(F.col("nested_url").isNotNull() & _is_http(F.col("nested_url")))
         .join(corpus, F.col("nested_url") == F.col("__fetch_url"))
-        .select("root_url", "nested_pos", F.col("__xml").alias("xml"))
+        .select("root_url", "nested_pos", F.col("__corpus_raw").alias("__raw")),
+        ["root_url", "nested_pos"],
+        gzip_support,
     )
 
     entries = _urlset_entries(direct.unionByName(nested), "xml")

@@ -27,6 +27,7 @@ Pinned semantics (sitemaps.org, minimal-but-real subset):
 from __future__ import annotations
 
 import datetime as _dt
+import gzip as _gzip
 import re
 
 _URL_BLOCK_RE = re.compile(r"<url\b[^>]*>(.*?)</url>", re.IGNORECASE | re.DOTALL)
@@ -38,6 +39,23 @@ _ENTITIES = [
     ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
     ("&quot;", '"'), ("&apos;", "'"),
 ]
+
+
+def doc_text(doc) -> str:
+    """Corpus value → XML text: str passes through; bytes decode UTF-8
+    (replace), transparently gunzipping gzip-magic payloads (sitemaps.org
+    allows gzip-compressed sitemap files; a corrupt member parses as-is
+    and simply yields nothing — skip, never fatal). Twin of the Spark
+    plan's magic-byte branch (``operators.sitemap._with_xml``)."""
+    if isinstance(doc, (bytes, bytearray)):
+        data = bytes(doc)
+        if data[:2] == b"\x1f\x8b":
+            try:
+                data = _gzip.decompress(data)
+            except Exception:  # BadGzipFile(OSError) | zlib.error | EOFError
+                pass
+        return data.decode("utf-8", "replace")
+    return doc
 
 
 def decode_entities(s: str) -> str:
@@ -152,13 +170,14 @@ def crawl_sitemaps(corpus: dict, roots: list) -> list:
         xml = corpus.get(root)
         if xml is None:
             continue
+        xml = doc_text(xml)
         entries = []
         if is_sitemap_index(xml):
             for nested in parse_sitemap_index(xml):
                 nxml = corpus.get(nested)
                 if nxml is None:
                     continue
-                entries.extend(parse_sitemap(nxml))
+                entries.extend(parse_sitemap(doc_text(nxml)))
         else:
             entries = parse_sitemap(xml)
         for i, (loc, lastmod) in enumerate(entries):

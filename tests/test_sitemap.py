@@ -51,7 +51,7 @@ class TestRefsemSitemap:
 class TestSparkSitemap:
     def _fixture_dfs(self, spark):
         pages = spark.createDataFrame(
-            [(u, bytearray(x.encode())) for u, x in H.SITEMAP_FIXTURES.items()],
+            [(u, bytearray(x)) for u, x in H.sitemap_fixture_bytes()],
             "url string, html binary",
         )
         roots = spark.createDataFrame([(u,) for u in H.SITEMAP_ROOTS], ["url"])
@@ -233,9 +233,54 @@ class TestSparkSitemap:
         assert (2, "a@blockedsite.ru") in on_pairs  # mailtos still harvested
 
     def test_plan_stays_native(self, spark):
+        """gzip_support=False: the whole two-round plan is JVM-native."""
         pages, roots = self._fixture_dfs(spark)
+        plan = (
+            SM.sitemap_urls(pages, roots, gzip_support=False)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_gzip_sitemaps_parse_and_plain_branch_stays_native(self, spark):
+        """Default gzip_support: .xml.gz roots parse (magic-byte Arrow
+        branch), plain docs still flow the native branch — the Python
+        stage sits only under the gzip filter."""
+        pages, roots = self._fixture_dfs(spark)
+        got = {
+            (r["root_url"], r["ord"]): (r["url"], r["lastmod"])
+            for r in SM.sitemap_urls(pages, roots).collect()
+            if r["root_url"] == "http://firm-g.ru/sitemap.xml.gz"
+        }
+        assert got == {
+            ("http://firm-g.ru/sitemap.xml.gz", 0): (
+                "http://firm-g.ru/", "2025-05-06"
+            ),
+            ("http://firm-g.ru/sitemap.xml.gz", 1): (
+                "http://firm-g.ru/contact", None
+            ),
+        }
         plan = (
             SM.sitemap_urls(pages, roots)
             ._jdf.queryExecution().executedPlan().toString()
         )
-        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # Arrow stages exist (gz branches) but each is guarded by the
+        # gzip magic-byte filter — plain rows never cross into Python
+        assert "ArrowEvalPython" in plan
+        assert plan.count("1F8B") >= 2  # the magic-byte literal in filters
+
+    def test_gzip_corrupt_member_yields_nothing(self, spark):
+        pages = spark.createDataFrame(
+            [
+                ("http://x.ru/sitemap.xml.gz",
+                 bytearray(b"\x1f\x8b\x08corrupt-not-really-gzip")),
+            ],
+            "url string, html binary",
+        )
+        roots = spark.createDataFrame(
+            [("http://x.ru/sitemap.xml.gz",)], ["url"]
+        )
+        assert SM.sitemap_urls(pages, roots).count() == 0
+        assert RSM.crawl_sitemaps(
+            {"http://x.ru/sitemap.xml.gz": b"\x1f\x8b\x08corrupt-not-really-gzip"},
+            ["http://x.ru/sitemap.xml.gz"],
+        ) == []
