@@ -188,11 +188,17 @@ class TestSimilarityPlans:
         from companycatalogcrawlerparser_spark.operators import sitemap as SM
 
         pages = spark.createDataFrame(
-            [(u, bytearray(x.encode())) for u, x in H.SITEMAP_FIXTURES.items()],
+            [(u, bytearray(x)) for u, x in H.sitemap_fixture_bytes()],
             "url string, html binary",
         )
         roots = spark.createDataFrame([(u,) for u in H.SITEMAP_ROOTS], ["url"])
-        plan = _plan(SM.sitemap_urls(pages, roots))
+        # gzip_support=False: the whole plan is JVM-native
+        plan = _plan(SM.sitemap_urls(pages, roots, gzip_support=False))
         for node in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
                      "BroadcastNestedLoopJoin"):
+            assert node not in plan
+        # default (gzip on): Python allowed ONLY on the gz-magic branch;
+        # still no cartesian anywhere
+        plan = _plan(SM.sitemap_urls(pages, roots))
+        for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
             assert node not in plan

@@ -10,7 +10,9 @@ from companycatalogcrawlerparser_spark.refsem import warc as RW
 from companycatalogcrawlerparser_spark.sources.warc import (
     parse_warc_pages,
     read_warc,
+    read_warc_ranged,
     warc_files,
+    warc_ranges,
 )
 
 
@@ -97,6 +99,68 @@ class TestBatchSizing:
         n_files = files.count()
         assert n_files >= 2
         assert files.rdd.getNumPartitions() == n_files
+
+
+class TestRangedRead:
+    """Record-level range splitting for oversized plain WARC files: the
+    parallel grain drops from file to ~target_bytes record runs, and the
+    ranged parse must be bit-identical to the whole-file parse."""
+
+    def _rows(self, df):
+        return sorted(
+            (r["url"], r["warc_ts"], bytes(r["html"]))
+            for r in df.collect()
+        )
+
+    def test_ranged_equals_whole_file(self, spark):
+        # target_bytes=1 → every record its own range (maximal split)
+        whole = self._rows(read_warc(spark, H.warc_dir()))
+        ranged = self._rows(
+            read_warc_ranged(
+                spark, H.warc_dir(), glob="*.warc*", target_bytes=1
+            )
+        )
+        assert ranged == whole
+
+    def test_plain_file_splits_gz_falls_back(self, spark):
+        ranges = warc_ranges(
+            spark, H.warc_dir(), glob="*.warc*", target_bytes=1
+        ).collect()
+        by_file = {}
+        for r in ranges:
+            by_file.setdefault(r["path"].rsplit("/", 1)[-1], []).append(
+                (r["offset"], r["length"])
+            )
+        for v in by_file.values():
+            v.sort()
+        # plain file: one range per record (6 records in seg-a)
+        assert len(by_file["seg-a.warc"]) == 6
+        assert by_file["seg-a.warc"][0][0] == 0
+        # gzip file: single whole-file range (member-exact split needs a
+        # CDX-style index)
+        assert len(by_file["seg-b.warc.gz"]) == 1
+        assert by_file["seg-b.warc.gz"][0][0] == 0
+
+    def test_offsets_follow_content_length_not_magic_scan(self, spark, tmp_path):
+        """A 'WARC/' string inside an HTTP body must NOT split a record:
+        boundaries come from the Content-Length chain."""
+        body = b"<html>WARC/1.0 looks like a record start\r\n\r\nWARC/</html>"
+        block = (
+            b"HTTP/1.1 200 OK\r\n\r\n" + body
+        )
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://t.ru/\r\n"
+            b"WARC-Date: 2025-06-01T10:00:00Z\r\n"
+            b"Content-Length: " + str(len(block)).encode() + b"\r\n\r\n"
+            + block + b"\r\n\r\n"
+        )
+        (tmp_path / "trap.warc").write_bytes(rec + rec.replace(b"t.ru", b"u.ru"))
+        rows = self._rows(
+            read_warc_ranged(spark, str(tmp_path), target_bytes=1)
+        )
+        assert [r[0] for r in rows] == ["http://t.ru/", "http://u.ru/"]
+        assert all(r[2] == body for r in rows)
 
 
 class TestSparkWarcSource:
