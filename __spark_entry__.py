@@ -39,6 +39,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table feed for COMPUTE-BOUND per-row operators (minhash/simhash/
+    shingles: ~8 md5s per shingle × hundreds of shingles per doc). Spark
+    schedules one task per file split; a small-SF table is a single
+    ≤ maxPartitionBytes file, so the whole hash workload would run in ONE
+    task regardless of cores. Fan the scan out to defaultParallelism when
+    the split count is below it — a narrow shuffle of the small table at
+    test scale, a structural no-op at production scale where split count
+    already exceeds any executor's cores."""
+    df = _t(spark, sf_dir, name)
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        df = df.repartition(cores)
+    return df
+
+
 # --------------------------------------------------------------------------
 # Synthesized crawl-shaped inputs (identical construction in oracle SQL)
 
@@ -505,18 +521,18 @@ def q_chunk_yield(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     return D.exact_dedup(d).select("doc_id", "content_hash")
 
 
 def q_minhash_signature(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     sig = D.minhash_signature(d, num_hashes=4)
     return sig.select("doc_id", "mh_0", "mh_1", "mh_2", "mh_3")
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(d, num_hashes=8, bands=4)
 
 
@@ -524,7 +540,7 @@ def q_ngram_jaccard(spark, sf_dir):
     # 200 docs / threshold 0.27 ≈ 70 pairs at sf0.01, spanning the
     # boundary (a handful of ~0.97 near-dups + a 0.27-0.30 tail) — wide
     # enough that the hash row actually pins the jaccard arithmetic
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = _t_wide(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     out = D.ngram_jaccard_pairs(d, threshold=0.27)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -533,7 +549,7 @@ def q_simhash_groups(spark, sf_dir):
     """SimHash per-doc signature + its near-dup group stats (bounded:
     n_docs + min_id per bucket via a window, never a collected id list —
     mirrors operators.dedup.simhash_groups / simhash_members)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     sig = d.select("doc_id", D.simhash16(F.col("text")).alias("simhash"))
     w = Window.partitionBy("simhash")
     return sig.select(
@@ -548,7 +564,7 @@ def q_text_metrics(spark, sf_dir):
     """Language-ID + token counting + quality scoring + fingerprint over
     one documents scan (folded from four per-doc rows — one scan, one
     row per doc, every metric still hash-verified per value)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     feats = TQ.quality_features(F.col("text"))
     return d.select(
         "doc_id",
