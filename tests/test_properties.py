@@ -298,3 +298,37 @@ class TestLastmodPartialDates:
     def test_junk_is_none(self):
         for junk in ("", "yesterday", "2025-13", "20250601", "2025-06-31"):
             assert RSM.parse_lastmod(junk) is None
+
+
+class TestWarcRangeOffsets:
+    """_record_offsets (the ranged reader's pass-1 boundary scan) must
+    return exactly the serialization's true record-start offsets, and a
+    parse of the per-record ranges must equal the whole-file parse."""
+
+    @SETTINGS
+    @given(st.lists(TestWarcParserAgreement._record, min_size=1, max_size=5),
+           st.sampled_from([b"", b"junk-prefix\r\n"]))
+    def test_offsets_exact_and_ranges_cover(self, records, junk):
+        import io
+
+        from companycatalogcrawlerparser_spark.sources.warc import (
+            _record_offsets, parse_warc_pages,
+        )
+
+        # expected offsets from the serializer's own accounting
+        expected, chunks, pos = [], [junk], len(junk)
+        for r in records:
+            blob = TestWarcParserAgreement._serialize([r])
+            expected.append(pos)
+            chunks.append(blob)
+            pos += len(blob)
+        data = b"".join(chunks)
+        got = _record_offsets(io.BufferedReader(io.BytesIO(data)))
+        assert got == expected
+
+        # per-record ranges parse to the same pages as the whole file
+        bounds = got + [len(data)]
+        ranged = []
+        for i in range(len(got)):
+            ranged += parse_warc_pages(data[bounds[i]:bounds[i + 1]])
+        assert ranged == parse_warc_pages(data)
