@@ -536,6 +536,9 @@ FROM {rp('categories_nested')}
 
 # 5 planes: every query's recall@5 ≥ 0.6 on the clustered vector set
 ANN_N, ANN_DIM, ANN_PLANES, ANN_K, ANN_NQ = 400, 16, 5, 5, 20
+# IVF coarse quantizer: 12 pivot cells, 3-cell probe (cluster siblings
+# share their query's cell, so recall stays meaningful at nprobe=3)
+ANN_CELLS, ANN_NPROBE = 12, 3
 
 
 def _ann_vec(i: int):
@@ -570,10 +573,14 @@ def _round6_half_up(x: float) -> float:
     return s * math.floor(abs(x) * 1e6 + 0.5) / 1e6
 
 
-def _py_topk(lsh: bool):
-    """Pure-Python brute / LSH top-k with the engine's exact semantics:
-    float64 left-fold dots (exact here: integer-valued vectors), HALF_UP
-    1e-6 rounding, (score desc, neighbor_id) tie-break, self excluded."""
+def _py_topk(kind: str):
+    """Pure-Python brute / LSH / IVF top-k with the engine's exact
+    semantics: float64 left-fold dots (exact here: integer-valued
+    vectors), HALF_UP 1e-6 rounding, (score desc, neighbor_id)
+    tie-break, self excluded. IVF candidacy mirrors
+    ``similarity.cosine_topk_ivf`` at iters=0: pivots = the ANN_CELLS
+    rows with smallest md5(id), cell = argmax cosine (round 1e-6, ties →
+    higher index), query probes its ANN_NPROBE best cells."""
     import hashlib as _hl
     import math
 
@@ -597,13 +604,38 @@ def _py_topk(lsh: bool):
 
     norms = {i: math.sqrt(dot(v, v)) for i, v in rows}
     sigs = {i: sig(v) for i, v in rows}
+
+    cells, probes = {}, {}
+    if kind == "ivf":
+        pivots = [
+            v for _i, v in sorted(
+                rows, key=lambda r: (_hl.md5(str(r[0]).encode()).hexdigest(), r[0])
+            )[:ANN_CELLS]
+        ]
+        pnorms = [math.sqrt(dot(p, p)) for p in pivots]
+
+        def cell_scores(i, v):
+            return [
+                (_round6_half_up(dot(v, p) / (norms[i] * pn)), ci)
+                for ci, (p, pn) in enumerate(zip(pivots, pnorms))
+            ]
+
+        for i, v in rows:
+            cells[i] = max(cell_scores(i, v))[1]
+        for i, v in rows[:ANN_NQ]:
+            probes[i] = {
+                ci for _s, ci in sorted(cell_scores(i, v), reverse=True)[:ANN_NPROBE]
+            }
+
     out = []
     for qid, qv in rows[:ANN_NQ]:
         cands = []
         for nid, nv in rows:
             if nid == qid:
                 continue
-            if lsh and sigs[nid] != sigs[qid]:
+            if kind == "lsh" and sigs[nid] != sigs[qid]:
+                continue
+            if kind == "ivf" and cells[nid] not in probes[qid]:
                 continue
             score = _round6_half_up(dot(qv, nv) / (norms[qid] * norms[nid]))
             cands.append((score, nid))
@@ -617,8 +649,10 @@ def ann_oracle_dir() -> str:
     if "ann_oracle_dir" in _memo:
         return _memo["ann_oracle_dir"]
     d = tempfile.mkdtemp(prefix="ccp_ann_oracle_")
-    for name, lsh in (("ann_brute", False), ("ann_lsh", True)):
-        rows = _py_topk(lsh)
+    for name, kind in (
+        ("ann_brute", "brute"), ("ann_lsh", "lsh"), ("ann_ivf", "ivf"),
+    ):
+        rows = _py_topk(kind)
         _write(d, name, {
             "query_id": [r[0] for r in rows],
             "neighbor_id": [r[1] for r in rows],
@@ -629,39 +663,60 @@ def ann_oracle_dir() -> str:
 
 
 def q_ann_lsh_recall(spark, sf_dir) -> DataFrame:
+    """Labeled union: recall@K vs the brute-force truth for BOTH
+    approximate paths — kind='lsh' (hyperplane buckets) and kind='ivf'
+    (pivot coarse quantizer, iters=0 so the Python twin reproduces the
+    centroids exactly)."""
     from .operators import similarity as SIM
 
     df = spark.createDataFrame(_ann_rows(), "vec_id long, embedding array<float>")
     q = df.filter(F.col("vec_id") < ANN_NQ)
     brute = SIM.cosine_topk_bruteforce(q, df, k=ANN_K)
-    lsh = SIM.cosine_topk_lsh(q, df, k=ANN_K, num_planes=ANN_PLANES, dim=ANN_DIM)
-    matches = brute.join(lsh, ["query_id", "neighbor_id"], "left_semi")
-    n = matches.groupBy("query_id").agg(F.count("*").alias("n_match"))
+    approx = {
+        "lsh": SIM.cosine_topk_lsh(
+            q, df, k=ANN_K, num_planes=ANN_PLANES, dim=ANN_DIM
+        ),
+        "ivf": SIM.cosine_topk_ivf(
+            q, df, k=ANN_K, n_cells=ANN_CELLS, nprobe=ANN_NPROBE
+        ),
+    }
     base = brute.select("query_id").distinct()
-    return base.join(n, "query_id", "left").select(
-        "query_id",
-        F.coalesce(F.col("n_match"), F.lit(0)).alias("n_match"),
-        F.round(F.coalesce(F.col("n_match"), F.lit(0)) / F.lit(float(ANN_K)), 6).alias("recall"),
-    )
+    out = None
+    for kind, res in approx.items():
+        matches = brute.join(res, ["query_id", "neighbor_id"], "left_semi")
+        n = matches.groupBy("query_id").agg(F.count("*").alias("n_match"))
+        part = base.join(n, "query_id", "left").select(
+            F.lit(kind).alias("kind"),
+            "query_id",
+            F.coalesce(F.col("n_match"), F.lit(0)).alias("n_match"),
+            F.round(
+                F.coalesce(F.col("n_match"), F.lit(0)) / F.lit(float(ANN_K)), 6
+            ).alias("recall"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def ann_lsh_oracle_sql() -> str:
     d = ann_oracle_dir()
     brute = os.path.join(d, "ann_brute.parquet")
-    lsh = os.path.join(d, "ann_lsh.parquet")
-    return f"""
-WITH m AS (
-  SELECT b.query_id, count(*) AS n_match
-  FROM read_parquet('{brute}') b
-  JOIN read_parquet('{lsh}') l
-    ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
-  GROUP BY 1),
-q AS (SELECT DISTINCT query_id FROM read_parquet('{brute}'))
-SELECT q.query_id,
+
+    def one(kind: str) -> str:
+        approx = os.path.join(d, f"ann_{kind}.parquet")
+        return f"""
+SELECT '{kind}' AS kind, q.query_id,
        coalesce(m.n_match, 0) AS n_match,
        round(coalesce(m.n_match, 0) / {float(ANN_K)}, 6) AS recall
-FROM q LEFT JOIN m USING (query_id)
+FROM (SELECT DISTINCT query_id FROM read_parquet('{brute}')) q
+LEFT JOIN (
+  SELECT b.query_id, count(*) AS n_match
+  FROM read_parquet('{brute}') b
+  JOIN read_parquet('{approx}') l
+    ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+  GROUP BY 1) m USING (query_id)
 """
+
+    return one("lsh") + " UNION ALL " + one("ivf")
 
 
 # ---------------------------------------------------------------------------

@@ -143,6 +143,154 @@ def cosine_topk_lsh(
     )
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse quantizer + nprobe cell search
+
+
+def ivf_pivots(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Deterministic coarse-quantizer pivots: the ``n_cells`` corpus
+    vectors with the smallest ``md5(id)`` — an order-free uniform sample
+    any engine reproduces exactly (no RNG state, no float averaging).
+    ``orderBy + limit`` compiles to TakeOrdered: no global sort
+    materializes, and only n_cells×dim floats reach the driver."""
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
+        .limit(n_cells)
+        .collect()
+    )
+    return [[float(x) for x in r["v"]] for r in rows]
+
+
+def _cell_scores(vec_col, cents: list):
+    """array<struct(s,i)> of (cosine to centroid c_i, i) — struct order
+    makes array_max/sort_array pick highest score, ties to higher i."""
+    return F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine(vec_col, F.array(*[F.lit(x) for x in c])), 6
+                ).alias("s"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+
+
+def assign_cells(
+    df: DataFrame, cents: list, vec_col: str = "embedding"
+) -> DataFrame:
+    """Adds ``cell`` = argmax-cosine centroid index (the inverted-list
+    key). Centroids ride as broadcast literal arrays — pure JVM exprs."""
+    return df.withColumn(
+        "cell", F.array_max(_cell_scores(F.col(vec_col), cents))["i"]
+    )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    cents: list,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Optional Lloyd refinement of the pivot centroids: assign (broadcast
+    literal centroids, JVM exprs) → elementwise mean per cell (posexplode
+    → groupBy(cell, pos) avg — map-side partial agg, one shuffle of
+    n_rows×dim scalars per iteration) → rebuild on the driver (centroid
+    count × dim floats). Cells that lose all members keep their pivot.
+
+    NOTE: float mean depends on aggregation order, so refined centroids
+    are not bit-reproducible across engines — the oracle-checked IVF row
+    uses the deterministic pivot quantizer (iters=0); refinement is the
+    production-quality knob (pytest asserts recall, not bytes)."""
+    dim = len(cents[0])
+    for _ in range(max(0, iters)):
+        assigned = assign_cells(corpus, cents, vec_col)
+        means = (
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col)).alias("pos", "x")
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        touched = set()
+        for r in means:
+            new[r["cell"]][r["pos"]] = float(r["m"])
+            touched.add(r["cell"])
+        cents = [
+            new[i] if i in touched else list(cents[i])
+            for i in range(len(cents))
+        ]
+        assert all(len(c) == dim for c in cents)
+    return cents
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 0,
+    cents: list | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: corpus rows live in inverted lists keyed by nearest
+    centroid; each query probes its ``nprobe`` closest cells and exact
+    cosine re-ranks the candidates. The equi-join on ``cell`` is the
+    10^10-scale shape (no cross product; candidate volume =
+    nprobe/n_cells of the corpus per query on balanced cells).
+    ``iters>0`` runs Lloyd refinement (see :func:`kmeans_refine` note on
+    reproducibility)."""
+    if cents is None:
+        cents = ivf_pivots(corpus, n_cells, id_col, vec_col)
+        if iters:
+            cents = kmeans_refine(corpus, cents, iters, id_col, vec_col)
+    c = assign_cells(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        cents,
+        "c_vec",
+    )
+    probes = F.slice(
+        F.sort_array(_cell_scores(F.col("q_vec"), cents), asc=False),
+        1,
+        nprobe,
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        .withColumn("cell", F.explode(F.transform(probes, lambda p: p["i"])))
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "score", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def planes_for_corpus(n_rows: int, target_bucket: int = 128) -> int:
     """Plane count such that the EXPECTED bucket population n/2^planes stays
     under ``target_bucket`` (uniform-bucket approximation) — more planes for

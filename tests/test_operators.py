@@ -321,6 +321,63 @@ class TestSimilarity:
         assert top and top[0]["neighbor_id"] == 1000  # identical vector found
         assert bf  # sanity
 
+    def test_ivf_finds_identical_vector_and_stays_equi_join(self, spark):
+        """IVF ANN: an exact duplicate always shares its query's best
+        cell, so it must surface at rank 1; and the candidate join is an
+        equi-join on cell — no cartesian anywhere in the plan."""
+        emb = self._emb(spark, n=80)
+        dup = emb.union(
+            spark.createDataFrame(
+                [(1000, emb.filter(F.col("vec_id") == 0).first()["embedding"])],
+                "vec_id long, embedding array<float>",
+            )
+        )
+        q0 = dup.filter(F.col("vec_id") == 0)
+        out = SIM.cosine_topk_ivf(q0, dup, k=3, n_cells=8, nprobe=2)
+        top = sorted(out.collect(), key=lambda r: r["rank"])
+        assert top and top[0]["neighbor_id"] == 1000
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_ivf_nprobe_all_cells_equals_bruteforce(self, spark):
+        """Probing every cell degenerates IVF to exact search: top-k must
+        equal brute force (same scoring, same tie-breaks)."""
+        emb = self._emb(spark, n=40)
+        q = emb.filter(F.col("vec_id") < 3)
+        bf = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in SIM.cosine_topk_bruteforce(q, emb, k=4).collect()
+        )
+        ivf = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in SIM.cosine_topk_ivf(
+                q, emb, k=4, n_cells=6, nprobe=6
+            ).collect()
+        )
+        assert ivf == bf
+
+    def test_kmeans_refine_keeps_dim_and_recall(self, spark):
+        """Lloyd refinement returns same-shape centroids and the refined
+        quantizer still finds exact duplicates (production-quality knob;
+        bytes not pinned — see kmeans_refine docstring)."""
+        emb = self._emb(spark, n=60)
+        pivots = SIM.ivf_pivots(emb, 6)
+        refined = SIM.kmeans_refine(emb, pivots, iters=2)
+        assert len(refined) == 6 and all(len(c) == 8 for c in refined)
+        dup = emb.union(
+            spark.createDataFrame(
+                [(1000, emb.filter(F.col("vec_id") == 0).first()["embedding"])],
+                "vec_id long, embedding array<float>",
+            )
+        )
+        q0 = dup.filter(F.col("vec_id") == 0)
+        out = SIM.cosine_topk_ivf(
+            q0, dup, k=3, n_cells=6, nprobe=2, cents=refined
+        )
+        top = sorted(out.collect(), key=lambda r: r["rank"])
+        assert top and top[0]["neighbor_id"] == 1000
+
     def test_cosine_pairs_threshold(self, spark):
         rows = [
             (1, [1.0, 0.0, 0.0, 0.0]),
