@@ -609,6 +609,63 @@ class TestStreaming:
             store.manifest(r)["counters"]["rows"] > 0 for r in rounds
         )
 
+    def test_host_budget_state_counts_violations_across_batches(
+        self, spark, tmp_path
+    ):
+        """applyInPandasWithState politeness auditor: per-host state
+        (events, violations, last stamp) must carry ACROSS micro-batches —
+        a gap that spans the batch boundary still counts."""
+        from companycatalogcrawlerparser_spark.streaming import events as SE
+        import datetime as dt
+
+        base = dt.datetime(2026, 1, 1, 10, 0, 0)
+        src = str(tmp_path / "state_in")
+
+        def ev(host, off_ms):
+            return (
+                base + dt.timedelta(milliseconds=off_ms),
+                f"http://{host}/p{off_ms}", host, 1, True, 10, 0,
+            )
+
+        # batch 1: a.ru at 0 and 400ms (1 violation), b.ru at 0
+        spark.createDataFrame(
+            [ev("a.ru", 0), ev("a.ru", 400), ev("b.ru", 0)],
+            SE.FETCH_EVENT_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(src)
+        # batch 2: a.ru at 900ms — 500ms after its batch-1 tail: violation
+        # only if state crossed the boundary; b.ru at 5000ms (clean)
+        spark.createDataFrame(
+            [ev("a.ru", 900), ev("b.ru", 5000)], SE.FETCH_EVENT_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(SE.FETCH_EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        audited = SE.host_budget_state(stream, delay_ms=1000)
+        out_dir = str(tmp_path / "state_out")
+        q = (
+            audited.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "state_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.read.parquet(out_dir).collect()
+        # take each host's LAST emitted state (max events)
+        final = {}
+        for r in rows:
+            cur = final.get(r["host"])
+            if cur is None or r["events"] > cur["events"]:
+                final[r["host"]] = r
+        assert final["a.ru"]["events"] == 3
+        assert final["a.ru"]["violations"] == 2  # 400ms gap + cross-batch 500ms
+        assert final["b.ru"]["events"] == 2
+        assert final["b.ru"]["violations"] == 0
+
     def test_foreach_batch_merge_replay_skips_committed_round(
         self, spark, tmp_path
     ):
