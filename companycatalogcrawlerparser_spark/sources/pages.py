@@ -249,9 +249,12 @@ def fetch_join(
     sorted; unmatched frontier rows come from a cheap second pass that
     column-prunes the scan to ``url`` only. A sort-merge join here would
     sort the full html payload (measured: disk-bound and core-count-
-    independent). Set ``broadcast_frontier=False`` only when a round's
-    frontier is too big to broadcast — at that scale both sides should be
-    bucketed by ``url_hash`` so the join is co-located anyway.
+    independent). ``broadcast_frontier=False`` (a round's frontier beyond
+    broadcast size) keeps the SAME inner+anti shape but with a
+    ``shuffle_hash`` hint building the hash table from the frontier side:
+    html shuffles once by key and is still never SORTED (plan-pinned by
+    tests) — and on a corpus bucketed by the join key the shuffle
+    disappears too.
     """
     if rmap is None:
         rmap = redirect_map(pages)
@@ -276,24 +279,26 @@ def fetch_join(
         F.col("status").alias("__c_status"),
     )
 
-    if broadcast_frontier:
-        found = content.join(
-            F.broadcast(fr), fr["final_url"] == content["__c_url"], "inner"
-        )
-        # frontier rows with no content row: second corpus pass, pruned to
-        # the url column (parquet reads only that column)
-        content_keys = pages.filter(
-            (F.col("status") < 300) | (F.col("status") >= 400)
-        ).select(F.col("url").alias("final_url"))
-        missing = (
-            fr.join(content_keys, "final_url", "left_anti")
-            .withColumn("__c_url", F.lit(None).cast("string"))
-            .withColumn("__c_html", F.lit(None).cast("binary"))
-            .withColumn("__c_status", F.lit(None).cast("int"))
-        )
-        j = found.select(*[F.col(c) for c in missing.columns]).unionByName(missing)
-    else:
-        j = fr.join(content, fr["final_url"] == content["__c_url"], "left")
+    # both branches share the inner+anti shape; only the hash-build
+    # mechanism differs (broadcast vs shuffled-hash with the frontier as
+    # build side). The left-outer formulation is deliberately avoided:
+    # Spark plans it as sort-merge, which SORTS the html payloads.
+    build = F.broadcast(fr) if broadcast_frontier else fr.hint("shuffle_hash")
+    found = content.join(
+        build, fr["final_url"] == content["__c_url"], "inner"
+    )
+    # frontier rows with no content row: second corpus pass, pruned to
+    # the url column (parquet reads only that column)
+    content_keys = pages.filter(
+        (F.col("status") < 300) | (F.col("status") >= 400)
+    ).select(F.col("url").alias("final_url"))
+    missing = (
+        fr.join(content_keys, "final_url", "left_anti")
+        .withColumn("__c_url", F.lit(None).cast("string"))
+        .withColumn("__c_html", F.lit(None).cast("binary"))
+        .withColumn("__c_status", F.lit(None).cast("int"))
+    )
+    j = found.select(*[F.col(c) for c in missing.columns]).unionByName(missing)
 
     ok = (
         F.col("resolve_error").isNull()
