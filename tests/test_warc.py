@@ -141,6 +141,42 @@ class TestRangedRead:
         assert len(by_file["seg-b.warc.gz"]) == 1
         assert by_file["seg-b.warc.gz"][0][0] == 0
 
+    def test_coalescing_packs_records_and_covers_file(self, spark, tmp_path):
+        """target_bytes > record size: ranges hold RUNS of records, are
+        contiguous from offset 0 to EOF, and still parse identically."""
+        recs = []
+        for i in range(40):
+            body = b"<html>%03d</html>" % i
+            block = b"HTTP/1.1 200 OK\r\n\r\n" + body
+            recs.append(
+                b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: http://t.ru/p%d\r\n" % i
+                + b"WARC-Date: 2025-06-01T10:00:00Z\r\n"
+                b"Content-Length: " + str(len(block)).encode() + b"\r\n\r\n"
+                + block + b"\r\n\r\n"
+            )
+        data = b"".join(recs)
+        (tmp_path / "many.warc").write_bytes(data)
+        target = len(recs[0]) * 10  # ~10 records per range
+        ranges = sorted(
+            (r["offset"], r["length"])
+            for r in warc_ranges(
+                spark, str(tmp_path), target_bytes=target
+            ).collect()
+        )
+        assert 2 <= len(ranges) <= 6  # coalesced runs, not 40 singletons
+        assert ranges[0][0] == 0
+        for (o1, l1), (o2, _l2) in zip(ranges, ranges[1:]):
+            assert o1 + l1 == o2  # contiguous, no gap/overlap
+        assert ranges[-1][0] + ranges[-1][1] == len(data)
+        got = sorted(
+            r["url"]
+            for r in read_warc_ranged(
+                spark, str(tmp_path), target_bytes=target
+            ).collect()
+        )
+        assert got == sorted(f"http://t.ru/p{i}" for i in range(40))
+
     def test_offsets_follow_content_length_not_magic_scan(self, spark, tmp_path):
         """A 'WARC/' string inside an HTTP body must NOT split a record:
         boundaries come from the Content-Length chain."""
