@@ -669,7 +669,12 @@ def q_ann_lsh_recall(spark, sf_dir) -> DataFrame:
     centroids exactly)."""
     from .operators import similarity as SIM
 
-    df = spark.createDataFrame(_ann_rows(), "vec_id long, embedding array<float>")
+    # coalesce(1): 400 fixture rows — without it every window/join stage
+    # in the 2×(brute⋈approx) plan schedules default-parallelism empty
+    # tasks, pure overhead in a row whose point is recall semantics
+    df = spark.createDataFrame(
+        _ann_rows(), "vec_id long, embedding array<float>"
+    ).coalesce(1)
     q = df.filter(F.col("vec_id") < ANN_NQ)
     brute = SIM.cosine_topk_bruteforce(q, df, k=ANN_K)
     approx = {
