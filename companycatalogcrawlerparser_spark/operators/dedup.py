@@ -216,6 +216,54 @@ def ngram_jaccard_pairs(
     return out
 
 
+def winnow_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8, window: int = 4, min_shared: int = 3,
+    max_bucket: int | None = 256,
+) -> DataFrame:
+    """Winnowing-based near-dup candidates: docs sharing ≥ ``min_shared``
+    winnow fingerprints (``textquality.winnow_fingerprints`` — each
+    window's minimum k-gram hash, the plagiarism-detection sketch).
+    Positional local-min sampling makes this modality robust to
+    INSERTIONS/deletions in a way fixed-band minhash is not: an edit
+    perturbs only the windows it touches, the other selected prints
+    survive verbatim, so ``n_shared`` degrades linearly instead of
+    zeroing a whole band.
+
+    Scale shape mirrors :func:`minhash_lsh_pairs`: explode prints →
+    bucket by print (skew cap ``max_bucket`` — a print shared by D docs
+    is a de-facto exact-dup cluster) → pair counts via groupBy. Returns
+    (id_a, id_b, n_shared), id_a < id_b, candidates only — verify with
+    :func:`ngram_jaccard_pairs` on the candidate set."""
+    from .textquality import winnow_fingerprints
+
+    ex = df.select(
+        F.col(id_col),
+        F.explode(winnow_fingerprints(F.col(text_col), k, window)).alias("fp"),
+    )
+    if max_bucket is not None:
+        bw = Window.partitionBy("fp")
+        ex = (
+            ex.withColumn("__n", F.count("*").over(bw))
+            .filter(F.col("__n") <= max_bucket)
+            .drop("__n")
+        )
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def simhash16(text) -> "F.Column":
     """16-char {0,1} signature: bit j = majority over tokens of the top bit
     of hex digit j of md5(token). Portable to ANSI SQL (see oracle twin).
