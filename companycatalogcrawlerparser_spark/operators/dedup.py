@@ -216,6 +216,65 @@ def ngram_jaccard_pairs(
     return out
 
 
+def jaccard_verify(
+    df: DataFrame, pairs: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text", k: int = 5,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact shingle-Jaccard for a CANDIDATE pair set — the verification
+    stage the LSH/winnow/simhash generators feed at 10^10-doc scale,
+    where :func:`ngram_jaccard_pairs`' all-shared-shingle join is
+    unaffordable. ``pairs`` is (id_a, id_b); only docs appearing in some
+    pair are shingled (semi-join prune), intersections are counted
+    per-shingle but immediately restricted to the candidate set (inner
+    join on (id_a, id_b) BEFORE the count aggregation), so work is
+    O(candidate docs' shingles), never corpus-quadratic. Returns
+    (id_a, id_b, jaccard) for candidates meeting ``threshold`` —
+    verified identical to :func:`ngram_jaccard_pairs` on the same ids."""
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("__id"))
+        .unionByName(pairs.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    docs = df.join(
+        cand_ids, F.col(id_col) == F.col("__id"), "left_semi"
+    )
+    ex = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    )
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a, b = ex.alias("a"), ex.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .join(pairs.select("id_a", "id_b").distinct(), ["id_a", "id_b"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        shared.join(
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def winnow_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 8, window: int = 4, min_shared: int = 3,

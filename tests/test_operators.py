@@ -277,6 +277,42 @@ class TestDedup:
         assert (1, 2) in got and got[(1, 2)] >= 5
         assert (1, 3) not in got and (2, 3) not in got
 
+    def test_jaccard_verify_matches_full_on_candidates(self, spark):
+        """The candidate-restricted verifier must equal the full
+        all-pairs jaccard on the candidate ids — and emit NOTHING for
+        pairs outside the candidate set (the scale contract: work is
+        bounded by the candidates, not the corpus)."""
+        docs = self.DOCS + [(6, "the quick brown fox jumps far away")]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        cand = spark.createDataFrame([(1, 2), (3, 4)], ["id_a", "id_b"])
+        got = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+            for r in D.jaccard_verify(df, cand).collect()
+        }
+        assert set(got) == {(1, 2), (3, 4)}  # nothing outside candidates
+        full = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+            for r in D.ngram_jaccard_pairs(df, threshold=0.0).collect()
+        }
+        for p in got:
+            assert got[p] == full[p], p
+
+    def test_winnow_to_jaccard_pipeline(self, spark):
+        """The composed scale path: winnow candidates → jaccard verify
+        keeps the true near-dup and drops the unrelated doc."""
+        base = (
+            "the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest to find some food for winter"
+        )
+        df = spark.createDataFrame(
+            [(1, base), (2, base.replace("lazy", "sleepy")),
+             (3, "unrelated text about query optimizers and join orders")],
+            ["doc_id", "text"],
+        )
+        cand = D.winnow_pairs(df, min_shared=2).select("id_a", "id_b")
+        verified = D.jaccard_verify(df, cand, threshold=0.5).collect()
+        assert {(r["id_a"], r["id_b"]) for r in verified} == {(1, 2)}
+
     def test_winnow_pairs_hot_print_capped(self, spark):
         """A print shared by 500 docs is a de-facto exact-dup cluster:
         the cap must keep it out of pair generation."""

@@ -125,7 +125,7 @@ class TestJoinStrategies:
 
         pages = spark.createDataFrame(
             [
-                ("http://a.ru/", dt_bytes := b"<html>a</html>", 200, None),
+                ("http://a.ru/", b"<html>a</html>", 200, None),
                 ("http://a.ru/c", b"<html>c</html>", 200, None),
                 ("http://b.ru/", b"", 404, None),
             ],
