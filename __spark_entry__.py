@@ -537,12 +537,24 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    # 200 docs / threshold 0.27 ≈ 70 pairs at sf0.01, spanning the
-    # boundary (a handful of ~0.97 near-dups + a 0.27-0.30 tail) — wide
-    # enough that the hash row actually pins the jaccard arithmetic
+    # labeled union — kind='full': all-pairs jaccard over 200 docs /
+    # threshold 0.27 ≈ 70 pairs at sf0.01, spanning the boundary (a
+    # handful of ~0.97 near-dups + a 0.27-0.30 tail), wide enough that
+    # the hash row pins the jaccard arithmetic; kind='winnow': the SCALE
+    # pipeline winnow_pairs → jaccard_verify over the same docs (winnow
+    # local-min sketch + candidate-restricted verification), twinned in
+    # SQL via a rolling-min window — both stages under the hard signal
     d = _t_wide(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    out = D.ngram_jaccard_pairs(d, threshold=0.27)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    full = D.ngram_jaccard_pairs(d, threshold=0.27).select(
+        F.lit("full").alias("kind"), "id_a", "id_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+    cand = D.winnow_pairs(d, min_shared=5).select("id_a", "id_b")
+    winnow = D.jaccard_verify(d, cand, threshold=0.27).select(
+        F.lit("winnow").alias("kind"), "id_a", "id_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+    return full.unionByName(winnow)
 
 
 def q_simhash_groups(spark, sf_dir):
@@ -1042,10 +1054,28 @@ sh AS (SELECT DISTINCT doc_id, substring({norm_text}, i, 5) AS shingle
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-SELECT id_a, id_b, round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
-FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.27
+           GROUP BY 1, 2),
+jac AS (SELECT id_a, id_b, round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard,
+               inter * 1.0 / (sa.sz + sb.sz - inter) AS raw
+        FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b),
+-- winnow twin: k=8 grams (md5 8-char prefix), window=4 rolling min over
+-- gram positions, windows at positions 1..greatest(n_grams-3, 1)
+grams AS (SELECT doc_id, i, substring(md5(substring({norm_text}, i, 8)), 1, 8) AS g,
+                 greatest(length({norm_text}) - 7, 1) AS n_grams
+          FROM docs, LATERAL unnest(generate_series(1, greatest(length({norm_text}) - 7, 1))) AS u(i)),
+wmin AS (SELECT doc_id, i, n_grams,
+                min(g) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         FROM grams),
+fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= greatest(n_grams - 3, 1)),
+cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 5)
+SELECT 'full' AS kind, id_a, id_b, jaccard FROM jac WHERE raw >= 0.27
+UNION ALL
+SELECT 'winnow' AS kind, jac.id_a, jac.id_b, jaccard
+FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+WHERE raw >= 0.27
 """,
         "simhash_groups": f"""
 WITH toks AS (

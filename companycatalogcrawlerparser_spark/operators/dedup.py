@@ -27,6 +27,19 @@ def normalized(text) -> "F.Column":
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
 
+def bind_once(expr, fn) -> "F.Column":
+    """Evaluate ``expr`` once per ROW and pass the materialized value to
+    ``fn``. Higher-order functions interpret their lambda bodies (no
+    whole-stage codegen, no subexpression elimination), so an outer
+    expression referenced inside a ``transform`` lambda re-evaluates PER
+    ELEMENT — e.g. shingling recomputed the regex-normalized text for
+    every one of ~300 positions, O(n²) per doc. Wrapping the expression
+    in a one-element array and transforming over it binds it to a lambda
+    variable, which IS materialized once (measured: the winnow+jaccard
+    driver row dropped ~6×)."""
+    return F.transform(F.array(expr), fn)[0]
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact near-identity dedup: md5 over normalized text, keep min id."""
     d = df.withColumn("content_hash", F.md5(normalized(F.col(text_col))))
@@ -40,13 +53,19 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 def shingles(text, k: int = 5) -> "F.Column":
     """Distinct char k-shingles of the normalized text (array<string>).
-    Texts shorter than k yield a single shingle = the whole text."""
-    t = normalized(text)
-    n = F.length(t)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.substring(t, i, F.lit(k)))
-    )
+    Texts shorter than k yield a single shingle = the whole text.
+    The normalized text is bound once per row (see :func:`bind_once`) —
+    referencing it directly inside the transform lambda re-runs the
+    normalization regex per position."""
+
+    def per_t(t):
+        n = F.length(t)
+        idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.substring(t, i, F.lit(k)))
+        )
+
+    return bind_once(normalized(text), per_t)
 
 
 def minhash_signature(

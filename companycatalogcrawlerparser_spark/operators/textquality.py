@@ -128,14 +128,25 @@ def winnow_fingerprints(text, k: int = 8, window: int = 4) -> Column:
     sequence keep each window's minimum (array<string> of md5 prefixes).
     Native arrays only — the standard local-min sketch for plagiarism-style
     matching."""
-    from .dedup import normalized as _norm
+    from .dedup import bind_once, normalized as _norm
 
-    t = _norm(text)
-    n = F.length(t)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.substring(F.md5(F.substring(t, i, F.lit(k))), 1, 8))
-    nwin = F.greatest(F.size(grams) - F.lit(window - 1), F.lit(1))
-    wins = F.sequence(F.lit(0), nwin - F.lit(1))
-    return F.array_distinct(
-        F.transform(wins, lambda w: F.array_min(F.slice(grams, w + 1, window)))
-    )
+    # two binds (see dedup.bind_once): the normalized text would re-run
+    # its regex per gram position, and the grams array would re-hash the
+    # ENTIRE doc per window — O(n²) md5 calls per doc without them
+    def per_t(t):
+        n = F.length(t)
+        idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+        grams = F.transform(
+            idx, lambda i: F.substring(F.md5(F.substring(t, i, F.lit(k))), 1, 8)
+        )
+
+        def per_g(g):
+            nwin = F.greatest(F.size(g) - F.lit(window - 1), F.lit(1))
+            wins = F.sequence(F.lit(0), nwin - F.lit(1))
+            return F.array_distinct(
+                F.transform(wins, lambda w: F.array_min(F.slice(g, w + 1, window)))
+            )
+
+        return bind_once(grams, per_g)
+
+    return bind_once(_norm(text), per_t)
