@@ -400,13 +400,27 @@ def _sitemap_contact_frontier(
     refetches are prevented by the normal url_seen scopes. ``seq`` offsets
     by 1_000_000 so sitemap finds order AFTER document-extracted links —
     supplementary, never reordering the reference's trace."""
-    from ..functions.canon import host_token
+    from ..functions.canon import canonical_host, host_token
     from ..operators import sitemap as SM
 
     bases = ok_tokens.select("company_id", "base_url").distinct()
-    roots = bases.withColumn(
+    # roots = the conventional <base>/sitemap.xml guess ∪ the sitemaps
+    # the company's own robots.txt DECLARES (Sitemap: directive — the
+    # standard discovery mechanism; finds nonstandard paths the guess
+    # misses). Declared roots join per company by canonical host.
+    guessed = bases.withColumn(
         "root_url", F.concat(F.col("base_url"), F.lit("/sitemap.xml"))
-    )
+    ).select("company_id", "base_url", "root_url")
+    declared = bases.withColumn(
+        "__host", canonical_host(F.col("base_url"))
+    ).join(
+        RB.robots_sitemaps(pages).select(
+            F.col("host").alias("__host"),
+            F.col("sitemap_url").alias("root_url"),
+        ),
+        "__host",
+    ).select("company_id", "base_url", "root_url")
+    roots = guessed.unionByName(declared).distinct()
     entries = SM.sitemap_urls(
         pages, roots.select(F.col("root_url").alias("url")).distinct()
     )

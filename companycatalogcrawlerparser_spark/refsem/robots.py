@@ -143,3 +143,24 @@ class RobotsOracle:
         if entry is None or entry[1] is None:
             return None
         return int(entry[1] * 1000)
+
+
+def sitemap_urls(text: str) -> List[str]:
+    """``Sitemap:`` directives, document order — the standard sitemap
+    DISCOVERY mechanism (sitemaps.org "Sitemap location"; RFC 9309 treats
+    it as an other-record, group-INDEPENDENT — it applies regardless of
+    surrounding user-agent groups). Value is everything after the first
+    colon (URLs contain ':'), comment-stripped; only absolute http(s)
+    URLs survive (F1, as for any frontier candidate)."""
+    out = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        if key.strip().lower() != "sitemap":
+            continue
+        v = value.strip()
+        if v.startswith("http://") or v.startswith("https://"):
+            out.append(v)
+    return out

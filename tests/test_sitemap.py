@@ -232,6 +232,84 @@ class TestSparkSitemap:
         assert (2, "never@blockedsite.ru") not in on_pairs  # block holds
         assert (2, "a@blockedsite.ru") in on_pairs  # mailtos still harvested
 
+    def test_robots_sitemap_directive_parse_parity(self, spark):
+        """Sitemap: directive discovery — refsem semantics + Spark twin
+        agree on keys/case/comments/relative-URL rejection."""
+        from companycatalogcrawlerparser_spark.operators import robots as RB
+        from companycatalogcrawlerparser_spark.refsem import robots as RR
+
+        txt = (
+            "User-agent: *\nDisallow: /private\n"
+            "Sitemap: http://d.ru/sm_weird.xml\n"
+            "SITEMAP:https://d.ru/sm2.xml.gz   # trailing comment\n"
+            "# Sitemap: http://d.ru/commented.xml\n"
+            "sitemap : http://d.ru/sm3.xml\n"
+            "sitemapx: http://d.ru/not.xml\n"
+            "Sitemap: /relative/sm.xml\n"
+            "Sitemap: HTTP://d.ru/upper-scheme.xml\n"
+        )
+        want = [
+            "http://d.ru/sm_weird.xml",
+            "https://d.ru/sm2.xml.gz",
+            "http://d.ru/sm3.xml",
+        ]
+        assert RR.sitemap_urls(txt) == want
+        pages = spark.createDataFrame(
+            [("http://d.ru/robots.txt", bytearray(txt.encode()))],
+            "url string, html binary",
+        )
+        got = sorted(
+            (r["host"], r["sitemap_url"])
+            for r in RB.robots_sitemaps(pages).collect()
+        )
+        assert got == sorted(("d.ru", u) for u in want)
+
+    def test_crawl_discovers_sitemap_via_robots_directive(self, spark, tmp_path):
+        """use_sitemaps e2e: the sitemap lives at a NONSTANDARD path that
+        only the robots.txt Sitemap: directive reveals — the contact
+        email must still be found (the /sitemap.xml guess alone misses
+        it), and the same-host gate keeps foreign declared sitemaps out."""
+        import datetime as dt
+
+        from companycatalogcrawlerparser_spark.plans.crawl import (
+            CrawlConfig, run_crawl,
+        )
+        from companycatalogcrawlerparser_spark.sources import webgen
+
+        ts = dt.datetime(2025, 1, 1)
+
+        def page(url, html, status=200):
+            return (url, ts, html.encode(), "", "ru", status, None)
+
+        pages_df = spark.createDataFrame(
+            [
+                page("http://weirdpath.ru",
+                     "<html><body>no links here</body></html>"),
+                page("http://weirdpath.ru/robots.txt",
+                     "User-agent: *\nSitemap: http://weirdpath.ru/sm/deep.xml\n"),
+                page("http://weirdpath.ru/sm/deep.xml",
+                     "<urlset><url><loc>http://weirdpath.ru/contacts.html"
+                     "</loc></url></urlset>"),
+                page("http://weirdpath.ru/contacts.html",
+                     "<html><body>write chief@weirdpath.ru</body></html>"),
+            ],
+            schema=webgen.PAGES_SCHEMA,
+        )
+        seeds_df = spark.createDataFrame(
+            [(1, "http://weirdpath.ru", False, False, False)],
+            schema=webgen.SEEDS_SCHEMA,
+        )
+        res = run_crawl(
+            spark, pages_df, seeds_df, str(tmp_path / "store"),
+            CrawlConfig(
+                use_sitemaps=True, num_partitions=4, n_buckets=8,
+                collect_counters=False,
+            ),
+        )
+        pairs = {(r["company_id"], r["email"])
+                 for r in res["email_pairs"].collect()}
+        assert (1, "chief@weirdpath.ru") in pairs
+
     def test_plan_stays_native(self, spark):
         """gzip_support=False: the whole two-round plan is JVM-native."""
         pages, roots = self._fixture_dfs(spark)
