@@ -53,16 +53,26 @@ def cosine_topk_bruteforce(
     """For each query row: top-k corpus neighbours by cosine (excluding
     self), scored in double, rounded 1e-6, tie-broken by neighbour id.
     Queries are broadcast (they're a small probe set by construction)."""
+    # norms precomputed ONCE per row: cosine() inside the join would
+    # re-run the interpreted HOF norm fold per PAIR (k×n times for the
+    # corpus side) instead of once per vector
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("__cn"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "score", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+            "score",
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -121,17 +131,26 @@ def cosine_topk_lsh(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("__cn"),
         lsh_signature(F.col(vec_col), num_planes, dim).alias("sig"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("__qn"),
         lsh_signature(F.col(vec_col), num_planes, dim).alias("sig"),
     )
     scored = (
         c.join(F.broadcast(q), "sig")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn(
+            "score",
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
@@ -258,7 +277,9 @@ def cosine_topk_ivf(
             cents = kmeans_refine(corpus, cents, iters, id_col, vec_col)
     c = assign_cells(
         corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            _norm(F.col(vec_col)).alias("__cn"),
         ),
         cents,
         "c_vec",
@@ -270,7 +291,8 @@ def cosine_topk_ivf(
     )
     q = (
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+            _norm(F.col(vec_col)).alias("__qn"),
         )
         .withColumn("cell", F.explode(F.transform(probes, lambda p: p["i"])))
     )
@@ -278,7 +300,12 @@ def cosine_topk_ivf(
         c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "score", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+            "score",
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -338,6 +365,9 @@ def cosine_pairs(
             .filter(F.col("__n") <= max_bucket)
             .drop("__n")
         )
+    # norm once per row (a bucket of D rows would otherwise re-fold each
+    # vector's norm D-1 times inside the pair join)
+    sig = sig.withColumn("__n2", _norm(F.col(vec_col)))
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(
@@ -347,7 +377,11 @@ def cosine_pairs(
         )
         .withColumn(
             "score",
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6),
+            F.round(
+                _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a.__n2") * F.col("b.__n2")),
+                6,
+            ),
         )
         .filter(F.col("score") >= threshold)
         .select(
