@@ -187,19 +187,41 @@ def extract_tokens_native(fetched: DataFrame) -> DataFrame:
         )
 
     hrefs = F.transform(all_matches(_HREF_PAT_JAVA, 0), _href_trims)
-    anchor_urls = all_matches(_ANCHOR_PAT_JAVA, 1)
-    anchor_names = all_matches(_ANCHOR_PAT_JAVA, 2)
+    # ONE anchor pass over the full html (group 0), then pull groups 1/2
+    # from the short matched substrings. Re-matching the pattern against
+    # exactly its own full match reproduces the same lazy-quantifier
+    # spans (no lookarounds, leftmost start, identical prefix), so the
+    # groups are byte-identical to a second full scan — oracle rows pin
+    # it. The struct array lives in its OWN projection: referencing it
+    # twice from the outer select is a cheap array-field access, and
+    # CollapseProject won't inline (and so duplicate) a non-cheap HOF.
+    anchors = F.transform(
+        all_matches(_ANCHOR_PAT_JAVA, 0),
+        lambda m: F.struct(
+            F.regexp_extract(m, _ANCHOR_PAT_JAVA, 1).alias("url"),
+            F.regexp_extract(m, _ANCHOR_PAT_JAVA, 2).alias("name"),
+        ),
+    )
     emails = all_matches(_EMAIL_PAT_JAVA, 0)
 
     meta = [c for c in fetched.columns if c != "html"]
     gate = lambda col: F.when(has_html, col).otherwise(empty)  # noqa: E731
-    return fetched.select(
+    staged = fetched.select(
         *meta,
         has_html.alias("has_html"),
         gate(hrefs).alias("hrefs"),
-        gate(anchor_names).alias("anchor_names"),
-        gate(anchor_urls).alias("anchor_urls"),
+        F.when(has_html, anchors).otherwise(
+            F.array().cast("array<struct<url:string,name:string>>")
+        ).alias("__anchors"),
         gate(emails).alias("emails"),
+    )
+    return staged.select(
+        *meta,
+        "has_html",
+        "hrefs",
+        F.col("__anchors.name").alias("anchor_names"),
+        F.col("__anchors.url").alias("anchor_urls"),
+        "emails",
     )
 
 
