@@ -1,12 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-The decode/resize/frame-sample kernels need codec libraries that are not in
-this container, so the DECODE STEP IS STUBBED (``NotImplementedError``)
-behind ``fake=True`` deterministic stand-ins — but all Spark-side plumbing
-is real and tested: asset schema, Arrow batch shape through ``mapInPandas``,
-partitioning by asset kind, and feature-vector output schema. Swapping the
-stub for Pillow/torchaudio/pyav is a one-function change per kernel.
+Image kernels (round 4): uncompressed BMP (24/32 bpp) decodes, resizes,
+and feature-extracts FOR REAL with pure numpy — no codec library needed
+(``decode_bmp`` / ``encode_bmp`` / ``resize_nearest``), mirroring the
+reference's mail-image ``Resize`` (``DataStructure/Library.fs:70-126``).
+Compressed formats (JPEG/PNG) still need Pillow/libjpeg, which this
+container lacks, so THOSE decodes remain honestly stubbed
+(``NotImplementedError``) behind ``fake=True`` deterministic stand-ins;
+audio/video kernels likewise (torchaudio/pyav). All Spark-side plumbing
+is real and tested either way: asset schema, Arrow batch shape through
+``mapInPandas``, partitioning by asset kind, and output schemas.
 """
 
 from __future__ import annotations
@@ -41,11 +45,120 @@ def make_assets(spark, n: int, kind: str = "image") -> DataFrame:
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
-def _decode_image_real(data: bytes):  # pragma: no cover - container lacks codecs
-    raise NotImplementedError(
-        "image decode requires Pillow/libjpeg — not available in this "
-        "container; use fake=True for the deterministic stand-in"
+def decode_bmp(data: bytes):
+    """Uncompressed BMP → RGB uint8 array (H, W, 3), pure numpy.
+
+    Supported: 'BM' files, BI_RGB (compression 0), 24/32 bpp, bottom-up
+    (positive height) or top-down (negative), rows padded to 4 bytes —
+    the standard uncompressed layouts. Anything else raises ValueError
+    (caller decides whether that means 'needs a codec lib')."""
+    import numpy as np
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    px_off = int.from_bytes(data[10:14], "little")
+    width = int.from_bytes(data[18:22], "little", signed=True)
+    height = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    compression = int.from_bytes(data[30:34], "little")
+    if compression != 0 or bpp not in (24, 32) or width <= 0 or height == 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} comp={compression}")
+    top_down = height < 0
+    h = abs(height)
+    ch = bpp // 8
+    stride = (width * ch + 3) & ~3  # rows pad to 4 bytes
+    need = px_off + stride * h
+    if len(data) < need:
+        raise ValueError("truncated BMP")
+    rows = np.frombuffer(data, np.uint8, stride * h, px_off).reshape(h, stride)
+    img = rows[:, : width * ch].reshape(h, width, ch)
+    if not top_down:
+        img = img[::-1]
+    # BGR(A) → RGB
+    return np.ascontiguousarray(img[:, :, 2::-1])
+
+
+def encode_bmp(img) -> bytes:
+    """RGB uint8 array (H, W, 3) → 24 bpp bottom-up BMP bytes (the
+    inverse of :func:`decode_bmp`; used for fixtures and resize output)."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # RGB→BGR, flip
+    px = rows.tobytes()
+    header = (
+        b"BM"
+        + (14 + 40 + len(px)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (14 + 40).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(px).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
     )
+    return header + px
+
+
+def resize_nearest(img, tw: int, th: int):
+    """Nearest-neighbour resize (numpy index sampling) — deterministic,
+    library-free; the reference's Resize keeps aspect via its caller
+    (:func:`resize_plan` computes the target dims the same way)."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    yi = (np.arange(th) * h // th).clip(0, h - 1)
+    xi = (np.arange(tw) * w // tw).clip(0, w - 1)
+    return img[yi][:, xi]
+
+
+def _decode_image_real(data: bytes, dim: int = 8):
+    """Real decode + feature vector: BMP decodes with numpy; compressed
+    formats need Pillow/libjpeg (absent in this container) and raise."""
+    try:
+        img = decode_bmp(data)
+    except ValueError as e:
+        raise NotImplementedError(
+            f"non-BMP image decode requires Pillow/libjpeg — not available "
+            f"in this container ({e}); use fake=True for the stand-in"
+        )
+    import numpy as np
+
+    gray = img.astype(np.float64).mean(axis=2).ravel() / 255.0
+    # dim equal chunks → mean intensity per chunk (deterministic, scale-free)
+    chunks = np.array_split(gray, dim)
+    return [float(round(c.mean(), 6)) if c.size else 0.0 for c in chunks]
+
+
+def make_bmp_assets(spark, n: int) -> DataFrame:
+    """Asset table whose payloads are REAL 24 bpp BMPs (deterministic
+    gradient patterns, varied dims incl. non-multiple-of-4 widths so row
+    padding is exercised) — the fixture for the real image kernels."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        w, h = 63 + i % 32, 48 + i % 24
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [
+                (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+                (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+                np.full((h, w), i % 256, np.uint8),
+            ],
+            axis=2,
+        )
+        rows.append(
+            (i, "image", encode_bmp(img), "image/bmp", w, h, 0)
+        )
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
 def _decode_image_fake(data: bytes, dim: int = 8):
@@ -67,7 +180,7 @@ def image_features(assets: DataFrame, fake: bool = True, dim: int = 8) -> DataFr
                 vec = (
                     _decode_image_fake(bytes(data), dim)
                     if fake
-                    else _decode_image_real(bytes(data))
+                    else _decode_image_real(bytes(data), dim)
                 )
                 out["asset_id"].append(aid)
                 out["width"].append(w)
@@ -109,6 +222,54 @@ def frame_sample(assets: DataFrame, every_ms: int = 5000, fake: bool = True) -> 
         "asset_id", "bytes", "duration_ms"
     )
     return vids.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "asset_id long, bytes binary, width int, height int, resized boolean"
+)
+
+
+def resize_images(assets: DataFrame, max_px: int = 512) -> DataFrame:
+    """REAL pixel resize for BMP image assets (the engine twin of the
+    reference's mail-image ``Resize``, ``DataStructure/Library.fs:70-126``):
+    aspect-preserving downscale to ``max_px`` via numpy nearest-neighbour,
+    re-encoded as BMP. Images already within bounds pass through
+    untouched (``resized=false``), exactly the reference's behavior.
+    Arrow-batched ``mapInPandas``; non-BMP payloads raise (they need a
+    codec lib this container lacks)."""
+    import pandas as pd  # noqa: F401
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for b in batches:
+            out = {
+                "asset_id": [], "bytes": [], "width": [], "height": [],
+                "resized": [],
+            }
+            for aid, data in zip(b["asset_id"], b["bytes"]):
+                img = decode_bmp(bytes(data))
+                h, w = img.shape[:2]
+                scale = min(max_px / w, max_px / h, 1.0)
+                if scale < 1.0:
+                    # HALF_UP like Spark's round() in resize_plan — NOT
+                    # Python round() (banker's: 24.5 would go to 24)
+                    tw = int(w * scale + 0.5)
+                    th = int(h * scale + 0.5)
+                    img = resize_nearest(img, tw, th)
+                    out["bytes"].append(encode_bmp(img))
+                    out["resized"].append(True)
+                else:
+                    tw, th = w, h
+                    out["bytes"].append(bytes(data))
+                    out["resized"].append(False)
+                out["asset_id"].append(aid)
+                out["width"].append(tw)
+                out["height"].append(th)
+            yield pd.DataFrame(out)
+
+    imgs = assets.filter(F.col("kind") == "image").select("asset_id", "bytes")
+    return imgs.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
 def resize_plan(assets: DataFrame, max_px: int = 512) -> DataFrame:

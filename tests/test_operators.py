@@ -531,9 +531,79 @@ class TestMultimodal:
         again = MM.image_features(assets, fake=True).collect()
         assert sorted(r["feature"] for r in rows) == sorted(r["feature"] for r in again)
 
-    def test_real_decode_raises(self):
+    def test_real_decode_raises_for_compressed_formats(self):
+        """Non-BMP payloads still need a codec lib (Pillow absent in this
+        container) — honestly raised, never silently faked."""
         with pytest.raises(NotImplementedError):
             MM._decode_image_real(b"xx")
+        with pytest.raises(NotImplementedError):
+            MM._decode_image_real(b"\x89PNG\r\n\x1a\nrest")
+
+    def test_bmp_roundtrip_and_padding(self):
+        """REAL kernel: encode→decode is the identity, incl. widths whose
+        3-byte rows need 4-byte padding and top-down (negative height)
+        files."""
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        for w, h in ((5, 3), (4, 4), (63, 2), (1, 1)):
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            assert np.array_equal(MM.decode_bmp(MM.encode_bmp(img)), img)
+        # hand-built top-down 32bpp: 1×2, pixels BGRA
+        px = bytes([10, 20, 30, 0, 40, 50, 60, 0])  # rows already 4-aligned
+        hdr = (
+            b"BM" + (14 + 40 + len(px)).to_bytes(4, "little") + b"\0\0\0\0"
+            + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+            + (2).to_bytes(4, "little")
+            + (-1).to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (32).to_bytes(2, "little")
+            + (0).to_bytes(4, "little") + len(px).to_bytes(4, "little")
+            + bytes(16)
+        )
+        got = MM.decode_bmp(hdr + px)
+        assert got.shape == (1, 2, 3)
+        assert got[0, 0].tolist() == [30, 20, 10]  # BGR→RGB
+        assert got[0, 1].tolist() == [60, 50, 40]
+
+    def test_resize_nearest_known_case(self):
+        import numpy as np
+
+        img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+        half = MM.resize_nearest(img, 2, 2)
+        assert half.shape == (2, 2, 3)
+        assert np.array_equal(half[0, 0], img[0, 0])
+        assert np.array_equal(half[1, 1], img[2, 2])
+
+    def test_real_image_features_e2e(self, spark):
+        """fake=False over REAL BMP payloads: the Spark features equal the
+        driver-side kernel output per asset."""
+        assets = MM.make_bmp_assets(spark, 6)
+        got = {
+            r["asset_id"]: r["feature"]
+            for r in MM.image_features(assets, fake=False).collect()
+        }
+        for r in assets.collect():
+            want = MM._decode_image_real(bytes(r["bytes"]))
+            assert [round(float(x), 6) for x in got[r["asset_id"]]] == want
+
+    def test_resize_images_real_e2e(self, spark):
+        """The real resize kernel honors resize_plan's target dims, its
+        output decodes at those dims, and within-bound images pass
+        through byte-identical (the reference's Resize behavior)."""
+        assets = MM.make_bmp_assets(spark, 6)
+        plan = {
+            r["asset_id"]: (r["target_width"], r["target_height"], r["needs_resize"])
+            for r in MM.resize_plan(assets, max_px=32).collect()
+        }
+        out = {r["asset_id"]: r for r in MM.resize_images(assets, max_px=32).collect()}
+        orig = {r["asset_id"]: bytes(r["bytes"]) for r in assets.collect()}
+        for aid, (tw, th, needs) in plan.items():
+            r = out[aid]
+            assert (r["width"], r["height"], r["resized"]) == (tw, th, needs)
+            dec = MM.decode_bmp(bytes(r["bytes"]))
+            assert dec.shape == (th, tw, 3)
+            if not needs:
+                assert bytes(r["bytes"]) == orig[aid]
 
     def test_frame_sample_dedup_integration(self, spark):
         """VERDICT r01 #10 — the frame_sample plumbing composes with the
