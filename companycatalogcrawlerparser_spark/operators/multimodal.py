@@ -224,6 +224,119 @@ def frame_sample(assets: DataFrame, every_ms: int = 5000, fake: bool = True) -> 
     return vids.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
 
 
+def decode_wav(data: bytes):
+    """PCM WAV → (sample_rate, mono float64 samples in [-1, 1]) — stdlib
+    ``wave`` + numpy, no codec library. 8/16/32-bit integer PCM;
+    multi-channel averages to mono. Compressed WAV raises ValueError."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            rate = w.getframerate()
+            n_ch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"not a PCM WAV: {e}")
+    if width == 2:
+        x = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, "u1").astype(np.float64) - 128.0) / 128.0
+    elif width == 4:
+        x = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported sample width {width}")
+    if n_ch > 1:
+        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return rate, x
+
+
+def encode_wav(rate: int, samples) -> bytes:
+    """Mono float64 [-1,1] → 16-bit PCM WAV bytes (fixture inverse)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    pcm = (
+        np.clip(np.asarray(samples, np.float64), -1.0, 1.0) * 32767.0
+    ).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "asset_id long, sample_rate int, n_samples long, rms double, "
+    "zcr double, feature array<float>"
+)
+
+
+def audio_features(assets: DataFrame, dim: int = 8) -> DataFrame:
+    """REAL audio kernel over PCM WAV assets: per-asset RMS energy,
+    zero-crossing rate, and a dim-chunk RMS envelope (the classic cheap
+    audio fingerprint) — Arrow-batched, pure numpy + stdlib wave."""
+    import pandas as pd  # noqa: F401
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for b in batches:
+            out = {
+                "asset_id": [], "sample_rate": [], "n_samples": [],
+                "rms": [], "zcr": [], "feature": [],
+            }
+            for aid, data in zip(b["asset_id"], b["bytes"]):
+                rate, x = decode_wav(bytes(data))
+                n = len(x)
+                rms = float(np.sqrt((x * x).mean())) if n else 0.0
+                zcr = (
+                    float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean())
+                    if n > 1 else 0.0
+                )
+                env = [
+                    float(round(float(np.sqrt((c * c).mean())), 6))
+                    if c.size else 0.0
+                    for c in np.array_split(x, dim)
+                ]
+                out["asset_id"].append(aid)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["rms"].append(round(rms, 6))
+                out["zcr"].append(round(zcr, 6))
+                out["feature"].append(env)
+            yield pd.DataFrame(out)
+
+    auds = assets.filter(F.col("kind") == "audio").select("asset_id", "bytes")
+    return auds.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def make_wav_assets(spark, n: int) -> DataFrame:
+    """Asset table with REAL 16-bit PCM WAV payloads (deterministic sine
+    bursts at varied frequencies/lengths)."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        rate = 8000
+        dur_s = 0.05 + (i % 4) * 0.05
+        t = np.arange(int(rate * dur_s)) / rate
+        x = 0.5 * np.sin(2 * np.pi * (200 + 100 * i) * t)
+        rows.append(
+            (i, "audio", encode_wav(rate, x), "audio/wav", 0, 0,
+             int(dur_s * 1000))
+        )
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
 RESIZED_SCHEMA = (
     "asset_id long, bytes binary, width int, height int, resized boolean"
 )

@@ -586,6 +586,33 @@ class TestMultimodal:
             want = MM._decode_image_real(bytes(r["bytes"]))
             assert [round(float(x), 6) for x in got[r["asset_id"]]] == want
 
+    def test_wav_roundtrip_and_audio_features_e2e(self, spark):
+        """REAL audio kernel: encode→decode roundtrip within 16-bit
+        quantization, and Spark features match driver-side numpy — a
+        louder signal has higher RMS, a higher-frequency one higher ZCR."""
+        import numpy as np
+
+        rate = 8000
+        t = np.arange(400) / rate
+        x = 0.5 * np.sin(2 * np.pi * 440 * t)
+        r2, back = MM.decode_wav(MM.encode_wav(rate, x))
+        assert r2 == rate
+        assert np.abs(back - x).max() < 1e-3  # 16-bit quantization bound
+
+        assets = MM.make_wav_assets(spark, 5)
+        rows = {r["asset_id"]: r for r in MM.audio_features(assets).collect()}
+        assert len(rows) == 5
+        for r in rows.values():
+            assert r["sample_rate"] == 8000
+            assert 0.2 < r["rms"] < 0.5  # 0.5-amplitude sine → rms ≈ 0.35
+            assert len(r["feature"]) == 8
+        # higher tone index → higher frequency → strictly more crossings
+        assert rows[4]["zcr"] > rows[0]["zcr"]
+
+    def test_decode_wav_rejects_non_wav(self):
+        with pytest.raises(ValueError):
+            MM.decode_wav(b"not a riff file at all")
+
     def test_resize_images_real_e2e(self, spark):
         """The real resize kernel honors resize_plan's target dims, its
         output decodes at those dims, and within-bound images pass
