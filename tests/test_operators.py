@@ -613,6 +613,27 @@ class TestMultimodal:
         with pytest.raises(ValueError):
             MM.decode_wav(b"not a riff file at all")
 
+    def test_audio_features_similarity_integration(self, spark):
+        """The real audio envelope feeds the similarity family e2e: a
+        duplicated waveform is its twin's top cosine neighbour."""
+        assets = MM.make_wav_assets(spark, 5)
+        dup = assets.unionByName(
+            assets.filter(F.col("asset_id") == 0).select(
+                (F.col("asset_id") + 100).alias("asset_id"),
+                "kind", "bytes", "mime", "width", "height", "duration_ms",
+            )
+        )
+        emb = MM.audio_features(dup).select(
+            F.col("asset_id").alias("vec_id"),
+            F.col("feature").cast("array<float>").alias("embedding"),
+        )
+        q = emb.filter(F.col("vec_id") == 0)
+        top = sorted(
+            SIM.cosine_topk_bruteforce(q, emb, k=2).collect(),
+            key=lambda r: r["rank"],
+        )
+        assert top and top[0]["neighbor_id"] == 100  # the exact duplicate
+
     def test_resize_images_real_e2e(self, spark):
         """The real resize kernel honors resize_plan's target dims, its
         output decodes at those dims, and within-bound images pass
