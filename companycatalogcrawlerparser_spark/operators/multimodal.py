@@ -329,7 +329,11 @@ def make_wav_assets(spark, n: int) -> DataFrame:
         rate = 8000
         dur_s = 0.05 + (i % 4) * 0.05
         t = np.arange(int(rate * dur_s)) / rate
-        x = 0.5 * np.sin(2 * np.pi * (200 + 100 * i) * t)
+        # index-dependent amplitude MODULATION so the chunked RMS
+        # envelopes differ per asset (a constant-amplitude sine has a
+        # flat envelope — every asset would be a cosine-1.0 tie)
+        env = 0.2 + 0.8 * np.abs(np.sin(np.pi * (i % 5 + 1) * t / dur_s))
+        x = 0.5 * env * np.sin(2 * np.pi * (200 + 100 * i) * t)
         rows.append(
             (i, "audio", encode_wav(rate, x), "audio/wav", 0, 0,
              int(dur_s * 1000))
