@@ -8,8 +8,11 @@ from pyspark.sql import functions as F
 from companycatalogcrawlerparser_spark import harness as H
 from companycatalogcrawlerparser_spark.refsem import warc as RW
 from companycatalogcrawlerparser_spark.sources.warc import (
+    build_cdx_lines,
     parse_warc_pages,
+    read_cdx,
     read_warc,
+    read_warc_indexed,
     read_warc_ranged,
     warc_files,
     warc_ranges,
@@ -197,6 +200,62 @@ class TestRangedRead:
         )
         assert [r[0] for r in rows] == ["http://t.ru/", "http://u.ru/"]
         assert all(r[2] == body for r in rows)
+
+
+class TestCdxIndexedRead:
+    """CDX-indexed access: record-level parallelism INSIDE .warc.gz
+    segments (each index row = one independently-gunzippable member) —
+    the standard Common-Crawl random-access pattern and the real answer
+    where warc_ranges must fall back to whole-file."""
+
+    def _setup(self, tmp_path):
+        data = H.warc_fixture_bytes()["seg-b.warc.gz"]
+        (tmp_path / "seg-b.warc.gz").write_bytes(data)
+        lines = build_cdx_lines(data, "seg-b.warc.gz")
+        (tmp_path / "idx.cdx").write_text("\n".join(lines) + "\n")
+        return data, lines
+
+    def test_cdx_parse_and_member_offsets(self, spark, tmp_path):
+        data, lines = self._setup(tmp_path)
+        rows = sorted(
+            (r["url"], r["offset"], r["length"], r["status"])
+            for r in read_cdx(spark, str(tmp_path)).collect()
+        )
+        assert [r[0] for r in rows] == [
+            "http://firm-b.ru/", "http://firm-b.ru/about",
+        ]
+        # offsets/lengths tile the segment: contiguous gzip members
+        assert rows[0][1] == 0
+        assert rows[0][1] + rows[0][2] == rows[1][1]
+        assert all(r[3] == 200 for r in rows)
+        # each (offset, length) slice is its own decompressible member
+        for _u, off, ln, _s in rows:
+            assert data[off:off + 2] == b"\x1f\x8b"
+            assert parse_warc_pages(data[off:off + ln])
+
+    def test_indexed_read_matches_whole_file(self, spark, tmp_path):
+        self._setup(tmp_path)
+        cdx = read_cdx(spark, str(tmp_path))
+        got = sorted(
+            (r["url"], r["warc_ts"], bytes(r["html"]))
+            for r in read_warc_indexed(spark, cdx, str(tmp_path)).collect()
+        )
+        want = sorted(
+            (r["url"], r["warc_ts"], bytes(r["html"]))
+            for r in read_warc(
+                spark, str(tmp_path), glob="*.warc.gz"
+            ).collect()
+        )
+        assert got == want and len(got) == 2
+
+    def test_junk_cdx_lines_drop_out(self, spark, tmp_path):
+        self._setup(tmp_path)
+        with open(tmp_path / "idx.cdx", "a") as f:
+            f.write("short\n")
+            f.write("a b not-json\n")
+            f.write('k 2025 {"url":"http://x/","filename":"f","offset":"bad","length":"1"}\n')
+        cdx = read_cdx(spark, str(tmp_path))
+        assert cdx.count() == 2  # only the two real rows survive
 
 
 class TestSparkWarcSource:
