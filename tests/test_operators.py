@@ -847,6 +847,54 @@ class TestStreaming:
         assert final["b.ru"]["events"] == 2
         assert final["b.ru"]["violations"] == 0
 
+    def test_host_budget_state_survives_checkpoint_restart(
+        self, spark, tmp_path
+    ):
+        """The auditor's per-host state must restore from the CHECKPOINT
+        across separate query runs (not just across batches within one
+        run): a sub-delay gap spanning a stream restart still counts."""
+        from companycatalogcrawlerparser_spark.streaming import events as SE
+        import datetime as dt
+
+        base = dt.datetime(2026, 1, 1, 10, 0, 0)
+        src = str(tmp_path / "restart_in")
+        out_dir = str(tmp_path / "restart_out")
+        ckpt = str(tmp_path / "restart_ckpt")
+
+        def ev(off_ms):
+            return (
+                base + dt.timedelta(milliseconds=off_ms),
+                f"http://a.ru/p{off_ms}", "a.ru", 1, True, 10, 0,
+            )
+
+        def drain():
+            stream = spark.readStream.schema(SE.FETCH_EVENT_SCHEMA).parquet(src)
+            q = (
+                SE.host_budget_state(stream, delay_ms=1000)
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        spark.createDataFrame(
+            [ev(0)], SE.FETCH_EVENT_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+        drain()  # run 1 ends; state (last_ts=0ms) lives in the checkpoint
+
+        spark.createDataFrame(
+            [ev(600)], SE.FETCH_EVENT_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+        drain()  # fresh query, same checkpoint
+
+        rows = spark.read.parquet(out_dir).collect()
+        last = max(rows, key=lambda r: r["events"])
+        assert last["events"] == 2
+        assert last["violations"] == 1  # 600ms gap across the RESTART
+
     def test_foreach_batch_merge_replay_skips_committed_round(
         self, spark, tmp_path
     ):
