@@ -669,12 +669,14 @@ def q_ann_lsh_recall(spark, sf_dir) -> DataFrame:
     centroids exactly)."""
     from .operators import similarity as SIM
 
-    # coalesce(1): 400 fixture rows — without it every window/join stage
-    # in the 2×(brute⋈approx) plan schedules default-parallelism empty
-    # tasks, pure overhead in a row whose point is recall semantics
+    # NOT coalesced: unlike the sitemap fixtures this row is
+    # compute-heavy (3×(400-vector scoring) + per-vector centroid
+    # assignment) — coalesce(1) serialized it into one task and tripled
+    # the row's wall time (measured); the default split spreads the
+    # interpreted HOF work across cores
     df = spark.createDataFrame(
         _ann_rows(), "vec_id long, embedding array<float>"
-    ).coalesce(1)
+    )
     q = df.filter(F.col("vec_id") < ANN_NQ)
     brute = SIM.cosine_topk_bruteforce(q, df, k=ANN_K)
     approx = {
