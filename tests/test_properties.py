@@ -332,3 +332,79 @@ class TestWarcRangeOffsets:
         for i in range(len(got)):
             ranged += parse_warc_pages(data[bounds[i]:bounds[i + 1]])
         assert ranged == parse_warc_pages(data)
+
+
+class TestCdxMemberWalk:
+    """build_cdx_lines walks gzip member boundaries: indexed slices are
+    real members, never overlap, and their parses union to the
+    whole-segment parse."""
+
+    @SETTINGS
+    @given(st.lists(
+        TestWarcParserAgreement._record.filter(
+            lambda r: r[0] == "response" and r[1] is not None
+        ),
+        min_size=1, max_size=4,
+    ))
+    def test_indexed_slices_parse_equal(self, records):
+        import gzip
+        import json
+
+        from companycatalogcrawlerparser_spark.sources.warc import (
+            build_cdx_lines, parse_warc_pages,
+        )
+
+        members = [
+            gzip.compress(TestWarcParserAgreement._serialize([r]))
+            for r in records
+        ]
+        data = b"".join(members)
+        metas = [
+            json.loads(l.split(" ", 2)[2])
+            for l in build_cdx_lines(data, "seg.warc.gz")
+        ]
+        slices = sorted({(int(m["offset"]), int(m["length"])) for m in metas})
+        # the index covers exactly the PAGE-yielding members (an
+        # invalid-date record parses to nothing and gets no index line,
+        # like CC's response-only index); slices never overlap and each
+        # starts at a gzip magic
+        for (o1, l1), (o2, _l2) in zip(slices, slices[1:]):
+            assert o1 + l1 <= o2
+        ranged = []
+        for off, ln in slices:
+            assert data[off:off + 2] == b"\x1f\x8b"
+            ranged += parse_warc_pages(data[off:off + ln])
+        assert sorted(ranged) == sorted(parse_warc_pages(data))
+        assert sorted(m["url"] for m in metas) == sorted(
+            p[0] for p in parse_warc_pages(data)
+        )
+
+    @SETTINGS
+    @given(st.lists(st.binary(max_size=40), min_size=1, max_size=4))
+    def test_all_valid_members_tile_exactly(self, bodies):
+        # every member yields a page -> slices tile contiguously 0..EOF
+        import gzip
+        import json
+
+        from companycatalogcrawlerparser_spark.sources.warc import (
+            build_cdx_lines,
+        )
+
+        members = [
+            gzip.compress(TestWarcParserAgreement._serialize(
+                [("response", "http://a.ru/p%d" % i,
+                  "2025-06-01T10:00:00Z", body, True)]
+            ))
+            for i, body in enumerate(bodies)
+        ]
+        data = b"".join(members)
+        metas = [
+            json.loads(l.split(" ", 2)[2])
+            for l in build_cdx_lines(data, "s.warc.gz")
+        ]
+        slices = sorted({(int(m["offset"]), int(m["length"])) for m in metas})
+        assert slices[0][0] == 0
+        for (o1, l1), (o2, _l2) in zip(slices, slices[1:]):
+            assert o1 + l1 == o2
+        assert slices[-1][0] + slices[-1][1] == len(data)
+        assert len(slices) == len(bodies)
