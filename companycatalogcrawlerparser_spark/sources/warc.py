@@ -68,6 +68,21 @@ WARC_PAGES_SCHEMA = (
 _CRLF = b"\r\n"
 
 
+def _readline_crlf(buf) -> bytes:
+    """One CRLF-terminated logical line. ``readline`` splits on bare LF,
+    but WARC header lines terminate only at CRLF (the oracle splits the
+    header block on CRLF exclusively, so a bare LF is header-value DATA,
+    not a line break) — joining raw lines until a CRLF terminator keeps
+    the two parsers in agreement on mixed line-ending input. The final
+    unterminated line is returned as-is at EOF."""
+    parts = []
+    while True:
+        chunk = buf.readline()
+        parts.append(chunk)
+        if not chunk or chunk.endswith(_CRLF):
+            return b"".join(parts)
+
+
 def _warc_datetime(value: str) -> Optional[_dt.datetime]:
     """ISO-8601 ``WARC-Date`` → naive UTC datetime, or None if invalid."""
     try:
@@ -100,7 +115,7 @@ def parse_warc_pages(data: bytes) -> list:
     buf = io.BufferedReader(io.BytesIO(data))
     out = []
     while True:
-        line = buf.readline()
+        line = _readline_crlf(buf)
         if not line:
             break
         # seek the record start; the version marker may follow junk bytes
@@ -110,7 +125,7 @@ def parse_warc_pages(data: bytes) -> list:
         headers = {}
         terminated = False  # saw the CRLF blank line ending the header block
         while True:
-            h = buf.readline()
+            h = _readline_crlf(buf)
             if not h:
                 break
             if h == _CRLF:
@@ -143,11 +158,15 @@ def parse_warc_pages(data: bytes) -> list:
 def warc_files(
     spark: SparkSession, path: str, glob: str = "*.warc*"
 ) -> DataFrame:
-    """Metadata-only listing: one ``path`` row per WARC file, repartitioned
-    to ~one path per task. ``binaryFile`` with the projection pruned to
-    ``path`` never reads file CONTENT — the scan touches listing metadata
-    only (plan-pinned by ``tests/test_warc.py``); bytes are opened inside
-    the :func:`read_warc` task, one file at a time."""
+    """Metadata-only listing: one ``path`` row per WARC file, spread
+    round-robin over a BOUNDED partition count (``4·defaultParallelism``
+    — no eager ``count()`` job, and no ``repartition(n_files)``
+    multi-million-partition shuffle at CC scale; a task just works
+    through its paths one file at a time). ``binaryFile`` with the
+    projection pruned to ``path`` never reads file CONTENT — the scan
+    touches listing metadata only (plan-pinned by ``tests/test_warc.py``);
+    bytes are opened inside the :func:`read_warc` task, one file at a
+    time."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
@@ -155,8 +174,7 @@ def warc_files(
         .load(path)
         .select("path")
     )
-    n_files = files.count()
-    return files.repartition(max(1, n_files))
+    return files.repartition(4 * _default_parallelism(spark))
 
 
 def _local_path(path: str) -> str:
@@ -184,7 +202,7 @@ def _record_offsets(fh) -> list:
     offsets = []
     while True:
         line_start = fh.tell()
-        line = fh.readline()
+        line = _readline_crlf(fh)
         if not line:
             break
         if line.find(b"WARC/") < 0:
@@ -192,7 +210,7 @@ def _record_offsets(fh) -> list:
         headers = {}
         terminated = False
         while True:
-            h = fh.readline()
+            h = _readline_crlf(fh)
             if not h:
                 break
             if h == _CRLF:
@@ -259,9 +277,12 @@ def warc_ranges(
                     rows.append((p, 0, size))
                 yield pd.DataFrame(rows, columns=["path", "offset", "length"])
 
+    # No eager count(): a count job here would run the pass-1 boundary
+    # scan (a header walk of EVERY file) twice — once for the count and
+    # again when the repartitioned ranges feed pass 2. The bounded
+    # round-robin spread keeps range rows ~evenly loaded without knowing n.
     ranges = files.mapInPandas(scan, schema="path string, offset long, length long")
-    n = ranges.count()
-    return ranges.repartition(max(1, n))
+    return ranges.repartition(4 * _default_parallelism(spark))
 
 
 def read_warc_ranged(
@@ -398,9 +419,16 @@ def read_warc_indexed(
 
     import pandas as pd  # noqa: F401
 
-    rows = cdx.select("warc_file", "offset", "length")
-    n = rows.count()
-    rows = rows.repartition(max(1, min(n, 4 * _default_parallelism(spark))))
+    # Distinct member coordinates: the CDX layout carries ONE LINE PER
+    # PAGE, so a gzip member holding several page-yielding records (legal
+    # WARC, non-CC layout — build_cdx_lines indexes it with multiple
+    # lines sharing the same offset/length) would otherwise be ranged-read
+    # once per line, duplicating every page in the member vs read_warc.
+    # The ranged read is per-MEMBER (it parses all records in the member),
+    # so dedupe to distinct (file, offset, length) first. No eager
+    # count(): bounded round-robin spread, as for warc_files/warc_ranges.
+    rows = cdx.select("warc_file", "offset", "length").distinct()
+    rows = rows.repartition(4 * _default_parallelism(spark))
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd

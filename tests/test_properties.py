@@ -251,6 +251,50 @@ class TestWarcParserAgreement:
         data = self._serialize(records, junk)
         assert parse_warc_pages(data) == RW.pages_from_warc(data)
 
+    @staticmethod
+    def _serialize_mixed(records, seps, junk=b""):
+        """Serializer variant with PER-LINE header terminators drawn from
+        {CRLF, bare LF} (r4 advice: the engine's readline split on bare LF
+        vs the oracle's CRLF-only split diverged on mixed input; the
+        engine now reads CRLF-logical lines, so a bare-LF 'line' is
+        header-value data for BOTH parsers — this fuzz pins it). The
+        block terminator stays CRLFCRLF where the last sep is CRLF;
+        a bare-LF final sep yields LF+CRLF, exercising the
+        blank-line-detection edge."""
+        out = [junk]
+        si = 0
+        for typ, uri, date, body, http in records:
+            block = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+                if http else body
+            )
+            head = [b"WARC/1.0", b"WARC-Type: " + typ.encode()]
+            if uri is not None:
+                head.append(b"WARC-Target-URI: " + uri.encode())
+            head.append(b"WARC-Date: " + date.encode("utf-8", "ignore"))
+            head.append(b"Content-Length: " + str(len(block)).encode())
+            buf = b""
+            for h in head:
+                buf += h + seps[si % len(seps)]
+                si += 1
+            out.append(buf + b"\r\n" + block + b"\r\n\r\n")
+        return b"".join(out)
+
+    @SETTINGS
+    @given(
+        st.lists(_record, max_size=5),
+        st.lists(st.sampled_from([b"\r\n", b"\n"]), min_size=1, max_size=7),
+        st.sampled_from([b"", b"junk\nwith bare lf\r\n", b"xx\nWARC/0.9 j\n"]),
+    )
+    def test_engine_matches_oracle_mixed_line_endings(self, records, seps, junk):
+        from companycatalogcrawlerparser_spark.refsem import warc as RW
+        from companycatalogcrawlerparser_spark.sources.warc import (
+            parse_warc_pages,
+        )
+
+        data = self._serialize_mixed(records, seps, junk)
+        assert parse_warc_pages(data) == RW.pages_from_warc(data)
+
     @SETTINGS
     @given(st.lists(_record, min_size=1, max_size=4))
     def test_engine_matches_oracle_gzip_members(self, records):

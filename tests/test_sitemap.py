@@ -247,11 +247,21 @@ class TestSparkSitemap:
             "sitemapx: http://d.ru/not.xml\n"
             "Sitemap: /relative/sm.xml\n"
             "Sitemap: HTTP://d.ru/upper-scheme.xml\n"
+            # r4 advice: whitespace-containing values (a URL never holds
+            # raw whitespace — both twins keep the first token), repeated
+            # directives (engine distinct() ≡ oracle first-occurrence
+            # dedup), and a tab-separated value
+            "Sitemap: http://d.ru/sm4.xml trailing junk words\n"
+            "Sitemap: http://d.ru/sm_weird.xml\n"
+            "Sitemap:\thttp://d.ru/sm5.xml\textra\n"
+            "Sitemap:    \n"
         )
         want = [
             "http://d.ru/sm_weird.xml",
             "https://d.ru/sm2.xml.gz",
             "http://d.ru/sm3.xml",
+            "http://d.ru/sm4.xml",
+            "http://d.ru/sm5.xml",
         ]
         assert RR.sitemap_urls(txt) == want
         pages = spark.createDataFrame(
