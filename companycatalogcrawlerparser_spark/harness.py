@@ -678,7 +678,12 @@ def q_ann_lsh_recall(spark, sf_dir) -> DataFrame:
         _ann_rows(), "vec_id long, embedding array<float>"
     )
     q = df.filter(F.col("vec_id") < ANN_NQ)
-    brute = SIM.cosine_topk_bruteforce(q, df, k=ANN_K)
+    # persist the shared truth: the brute-force scoring plan feeds one
+    # left-semi join PER approximate kind plus the query-id base — without
+    # a cache the full 400-vector exact scoring re-evaluates once per use
+    # (r4 verdict #3: this tripled the row's cost). The cached frame is
+    # ANN_NQ×ANN_K rows — trivially memory-safe at any scale where k is.
+    brute = SIM.cosine_topk_bruteforce(q, df, k=ANN_K).persist()
     approx = {
         "lsh": SIM.cosine_topk_lsh(
             q, df, k=ANN_K, num_planes=ANN_PLANES, dim=ANN_DIM
@@ -907,15 +912,58 @@ def warc_dir() -> str:
     return d
 
 
-def q_warc_ingest(spark, sf_dir) -> DataFrame:
-    from .sources.warc import read_warc
+def cdx_dir() -> str:
+    """CDXJ index for the fixture's ``.warc.gz`` segment (the compressed
+    file is the one whose members a CDX makes individually addressable —
+    see ``sources/warc.py`` module docstring)."""
+    if "cdx_dir" in _memo:
+        return _memo["cdx_dir"]
+    from .sources.warc import build_cdx_lines
 
-    pages = read_warc(spark, warc_dir())
-    return pages.select(
-        "url", "warc_ts",
-        F.length("html").cast("long").alias("n_bytes"),
-        F.md5("html").alias("html_md5"),
+    d = tempfile.mkdtemp(prefix="ccp_cdx_")
+    lines = build_cdx_lines(
+        warc_fixture_bytes()["seg-b.warc.gz"], "seg-b.warc.gz"
     )
+    with open(os.path.join(d, "seg-b.cdx"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    _memo["cdx_dir"] = d
+    return d
+
+
+def q_warc_ingest(spark, sf_dir) -> DataFrame:
+    """Labeled union over all THREE read paths (r4 verdict #3: the row
+    verified only whole-file reads; ranged and CDX-indexed were
+    pytest-only): kind='whole' (one file per task), kind='ranged'
+    (record-aligned splits, target_bytes=1 → maximal split, gz falls back
+    whole-file — contract: bit-identical pages), kind='indexed' (CDX
+    record-level reads inside the .warc.gz segment, so only the gz
+    segment's pages appear under that kind)."""
+    from .sources.warc import read_cdx, read_warc, read_warc_indexed, read_warc_ranged
+
+    def label(pages: DataFrame, kind: str) -> DataFrame:
+        return pages.select(
+            F.lit(kind).alias("kind"),
+            "url", "warc_ts",
+            F.length("html").cast("long").alias("n_bytes"),
+            F.md5("html").alias("html_md5"),
+        )
+
+    # partitions=8: the scale default (4·defaultParallelism) is right for
+    # CC segments but pure empty-task stage overhead on a 2-file fixture
+    whole = label(read_warc(spark, warc_dir(), partitions=8), "whole")
+    ranged = label(
+        read_warc_ranged(
+            spark, warc_dir(), glob="*.warc*", target_bytes=1, partitions=8
+        ),
+        "ranged",
+    )
+    indexed = label(
+        read_warc_indexed(
+            spark, read_cdx(spark, cdx_dir()), warc_dir(), partitions=8
+        ),
+        "indexed",
+    )
+    return whole.unionByName(ranged).unionByName(indexed)
 
 
 def warc_oracle_sql() -> str:
@@ -924,18 +972,28 @@ def warc_oracle_sql() -> str:
     from .refsem.warc import pages_from_warc
 
     d = oracle_dir()
+    fixtures = warc_fixture_bytes()
     rows = []
-    for data in warc_fixture_bytes().values():
-        for url, ts, body in pages_from_warc(data):
-            rows.append((url, ts, len(body), hashlib.md5(body).hexdigest()))
+    for kind, datas in (
+        ("whole", fixtures.values()),
+        ("ranged", fixtures.values()),          # bit-identical contract
+        ("indexed", [fixtures["seg-b.warc.gz"]]),  # CDX covers the gz segment
+    ):
+        for data in datas:
+            for url, ts, body in pages_from_warc(data):
+                rows.append(
+                    (kind, url, ts, len(body), hashlib.md5(body).hexdigest())
+                )
     _write(d, "warc_ingest", {
-        "url": [r[0] for r in rows],
-        "warc_ts": [r[1] for r in rows],
-        "n_bytes": [r[2] for r in rows],
-        "html_md5": [r[3] for r in rows],
+        "kind": [r[0] for r in rows],
+        "url": [r[1] for r in rows],
+        "warc_ts": [r[2] for r in rows],
+        "n_bytes": [r[3] for r in rows],
+        "html_md5": [r[4] for r in rows],
     })
     return (
-        "SELECT url, warc_ts, CAST(n_bytes AS BIGINT) AS n_bytes, html_md5 "
+        "SELECT kind, url, warc_ts, CAST(n_bytes AS BIGINT) AS n_bytes, "
+        "html_md5 "
         f"FROM read_parquet('{os.path.join(d, 'warc_ingest.parquet')}')"
     )
 

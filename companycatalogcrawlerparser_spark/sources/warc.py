@@ -156,7 +156,8 @@ def parse_warc_pages(data: bytes) -> list:
 
 
 def warc_files(
-    spark: SparkSession, path: str, glob: str = "*.warc*"
+    spark: SparkSession, path: str, glob: str = "*.warc*",
+    partitions: Optional[int] = None,
 ) -> DataFrame:
     """Metadata-only listing: one ``path`` row per WARC file, spread
     round-robin over a BOUNDED partition count (``4·defaultParallelism``
@@ -174,7 +175,7 @@ def warc_files(
         .load(path)
         .select("path")
     )
-    return files.repartition(4 * _default_parallelism(spark))
+    return files.repartition(partitions or 4 * _default_parallelism(spark))
 
 
 def _local_path(path: str) -> str:
@@ -237,6 +238,7 @@ def warc_ranges(
     path: str,
     glob: str = "*.warc",
     target_bytes: int = 64 << 20,
+    partitions: Optional[int] = None,
 ) -> DataFrame:
     """``(path, offset, length)`` record-aligned ranges per plain WARC
     file, coalesced to ~``target_bytes`` each and repartitioned ~one
@@ -245,7 +247,7 @@ def warc_ranges(
     whole-file range (see module docstring)."""
     import pandas as pd  # noqa: F401
 
-    files = warc_files(spark, path, glob)
+    files = warc_files(spark, path, glob, partitions)
 
     def scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import os as _os
@@ -282,7 +284,7 @@ def warc_ranges(
     # again when the repartitioned ranges feed pass 2. The bounded
     # round-robin spread keeps range rows ~evenly loaded without knowing n.
     ranges = files.mapInPandas(scan, schema="path string, offset long, length long")
-    return ranges.repartition(4 * _default_parallelism(spark))
+    return ranges.repartition(partitions or 4 * _default_parallelism(spark))
 
 
 def read_warc_ranged(
@@ -290,13 +292,14 @@ def read_warc_ranged(
     path: str,
     glob: str = "*.warc",
     target_bytes: int = 64 << 20,
+    partitions: Optional[int] = None,
 ) -> DataFrame:
     """Pages DataFrame with RANGE-level parallelism inside each plain
     WARC file — same output as :func:`read_warc` (tested bit-identical),
     for corpora whose files exceed a task's fair share."""
     import pandas as pd  # noqa: F401
 
-    ranges = warc_ranges(spark, path, glob, target_bytes)
+    ranges = warc_ranges(spark, path, glob, target_bytes, partitions)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -324,12 +327,13 @@ def read_warc_ranged(
 
 
 def read_warc(
-    spark: SparkSession, path: str, glob: str = "*.warc*"
+    spark: SparkSession, path: str, glob: str = "*.warc*",
+    partitions: Optional[int] = None,
 ) -> DataFrame:
     """Pages DataFrame from every WARC file under ``path``."""
     import pandas as pd  # noqa: F401  (mapInPandas contract)
 
-    files = warc_files(spark, path, glob)
+    files = warc_files(spark, path, glob, partitions)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -405,7 +409,8 @@ def read_cdx(spark: SparkSession, path: str, glob: str = "*.cdx*") -> DataFrame:
 
 
 def read_warc_indexed(
-    spark: SparkSession, cdx: DataFrame, warc_dir: str
+    spark: SparkSession, cdx: DataFrame, warc_dir: str,
+    partitions: Optional[int] = None,
 ) -> DataFrame:
     """Pages from ``.warc.gz`` segments via a CDX index: every index row
     is an independent ranged read (seek offset, read length, gunzip ONE
@@ -428,7 +433,7 @@ def read_warc_indexed(
     # so dedupe to distinct (file, offset, length) first. No eager
     # count(): bounded round-robin spread, as for warc_files/warc_ranges.
     rows = cdx.select("warc_file", "offset", "length").distinct()
-    rows = rows.repartition(4 * _default_parallelism(spark))
+    rows = rows.repartition(partitions or 4 * _default_parallelism(spark))
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
