@@ -416,15 +416,26 @@ def q_x6_translit(spark, sf_dir):
 
 
 def q_events_windows(spark, sf_dir):
-    """Engine extension: hourly tumbling aggregate + running per-user
-    window over the event stream, folded to one per-event row (each event
-    carries its hour-group totals via a second window)."""
+    """Labeled union of the event-stream surfaces (fold, don't add —
+    50-row driver record):
+
+    - kind='window': hourly tumbling aggregate + running per-user window
+      over the event stream, one per-event row (each event carries its
+      hour-group totals via a second window);
+    - kind='audit': the STREAMING stateful politeness auditor
+      (``applyInPandasWithState``, streaming/events.py) run for real over
+      the same events split into 3 time-ordered micro-batches — its
+      incremental per-host totals must hash-equal the oracle's one-shot
+      lag-gap scan, pinning cross-batch state semantics (r4 verdict #4)."""
+    from companycatalogcrawlerparser_spark import harness as _H
+
     ev = _t(spark, sf_dir, "events")
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wh = Window.partitionBy(
         F.date_trunc("hour", F.col("ts")), F.col("event_type")
     )
-    return ev.select(
+    win = ev.select(
+        F.lit("window").alias("kind"),
         "event_id",
         "user_id",
         F.round(F.sum("value").over(wu), 3).alias("running_value"),
@@ -432,7 +443,23 @@ def q_events_windows(spark, sf_dir):
         F.date_trunc("hour", F.col("ts")).alias("hour"),
         F.count("*").over(wh).cast("long").alias("n_hour"),
         F.round(F.sum("value").over(wh), 3).alias("hour_value"),
+        F.lit(None).cast("string").alias("host"),
+        F.lit(None).cast("long").alias("events"),
+        F.lit(None).cast("long").alias("violations"),
+        F.lit(None).cast("long").alias("last_ts_ms"),
     )
+    audit = _H.q_events_audit(spark, sf_dir).select(
+        F.lit("audit").alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("double").alias("running_value"),
+        F.lit(None).cast("string").alias("prev_type"),
+        F.lit(None).cast("timestamp").alias("hour"),
+        F.lit(None).cast("long").alias("n_hour"),
+        F.lit(None).cast("double").alias("hour_value"),
+        "host", "events", "violations", "last_ts_ms",
+    )
+    return win.unionByName(audit)
 
 
 def q_u3_blacklist_except(spark, sf_dir):
@@ -742,6 +769,8 @@ def _crawl_harness_oracle_sql():
 
 
 def oracle_sql() -> dict[str, str]:
+    from companycatalogcrawlerparser_spark import harness as _H
+
     urls = _URLS_SQL.strip()
     seeds = _SEEDS_SQL.strip()
     emails = _EMAILS_SQL.strip()
@@ -974,15 +1003,24 @@ SELECT DISTINCT token FROM (
 SELECT p_partkey AS id, p_name AS name FROM part
 WHERE p_partkey >= 50 AND p_partkey < 150 AND p_name IS NOT NULL
 """,
-        "events_windows": """
-SELECT event_id, user_id,
+        "events_windows": f"""
+SELECT 'window' AS kind, event_id, user_id,
        round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3) AS running_value,
        lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
        date_trunc('hour', ts) AS hour,
        count(*) OVER (PARTITION BY date_trunc('hour', ts), event_type) AS n_hour,
-       round(sum(value) OVER (PARTITION BY date_trunc('hour', ts), event_type), 3) AS hour_value
+       round(sum(value) OVER (PARTITION BY date_trunc('hour', ts), event_type), 3) AS hour_value,
+       CAST(NULL AS VARCHAR) AS host, CAST(NULL AS BIGINT) AS events,
+       CAST(NULL AS BIGINT) AS violations, CAST(NULL AS BIGINT) AS last_ts_ms
 FROM events
+UNION ALL
+SELECT 'audit' AS kind, CAST(NULL AS BIGINT) AS event_id,
+       CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS DOUBLE) AS running_value,
+       CAST(NULL AS VARCHAR) AS prev_type, CAST(NULL AS TIMESTAMP) AS hour,
+       CAST(NULL AS BIGINT) AS n_hour, CAST(NULL AS DOUBLE) AS hour_value,
+       a.host, a.events, a.violations, a.last_ts_ms
+FROM ({_H.events_audit_oracle_sql()}) a
 """,
         "u3_blacklist_except": f"""
 WITH raw AS ({emails})

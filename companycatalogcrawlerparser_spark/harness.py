@@ -1235,3 +1235,105 @@ def _write_nested_categories(d: str) -> None:
         "name": [r[2] for r in rows], "parent_id": [r[3] for r in rows],
         "href": [r[4] for r in rows], "city_code": [r[5] for r in rows],
     })
+
+
+# ---------------------------------------------------------------------------
+# streaming politeness auditor — the applyInPandasWithState surface under
+# the driver's hard hash signal (r4 verdict next-round #4)
+
+AUDIT_DELAY_MS = 60_000
+AUDIT_HOSTS_MOD = 20
+AUDIT_BATCHES = 3
+
+
+def q_events_audit(spark, sf_dir) -> DataFrame:
+    """Final per-host (events, violations, last_ts_ms) from a REAL
+    multi-batch streaming run of the stateful politeness auditor
+    (``streaming/events.py:host_budget_state``): the sf events table is
+    split into ``AUDIT_BATCHES`` time-ordered files, streamed with
+    ``maxFilesPerTrigger=1`` + ``availableNow`` so state must carry
+    across micro-batches, and the append-mode memory sink is folded to
+    each host's last emission (events/violations/last_ts_ms are all
+    monotone per host, so ``max`` selects it). Hash-equality with the
+    one-shot SQL twin (lag-gap scan over the whole table) is exactly the
+    cross-batch-state contract: incremental == global."""
+    import uuid
+
+    from .streaming.events import host_budget_state
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    derived = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % AUDIT_HOSTS_MOD).cast("string")).alias("host"),
+        "ts",
+    ).withColumn("bucket", F.ntile(AUDIT_BATCHES).over(Window.orderBy("ts")))
+
+    d = tempfile.mkdtemp(prefix="ccp_audit_")
+    src = os.path.join(d, "src")
+    os.makedirs(src)
+    # ONE write job: repartition("bucket") puts each time slice in exactly
+    # one task → one parquet file per bucket dir; the slice files then
+    # move into the stream source dir with increasing mtimes so the file
+    # source processes batches in time order (batch k+1's timestamps are
+    # >= batch k's; ties at slice boundaries can't flip a violation —
+    # an equal-ts gap counts on either side of the split)
+    tmp = os.path.join(d, "parts")
+    derived.repartition("bucket").write.partitionBy("bucket").parquet(tmp)
+    now = None
+    for i in range(1, AUDIT_BATCHES + 1):
+        bdir = os.path.join(tmp, f"bucket={i}")
+        part = next(
+            fn for fn in sorted(os.listdir(bdir)) if fn.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        os.rename(os.path.join(bdir, part), dst)
+        if now is None:
+            now = os.path.getmtime(dst)
+        os.utime(dst, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema("host string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    audited = host_budget_state(stream, delay_ms=AUDIT_DELAY_MS)
+    name = "ccp_audit_" + uuid.uuid4().hex[:12]
+    q = (
+        audited.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(d, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("host")
+        .agg(
+            F.max("events").alias("events"),
+            F.max("violations").alias("violations"),
+            F.max("last_ts_ms").alias("last_ts_ms"),
+        )
+    )
+
+
+def events_audit_oracle_sql() -> str:
+    """DuckDB one-shot twin: per-host lag-gap scan over the WHOLE events
+    table — what the incremental stream must equal."""
+    return f"""
+WITH ev AS (
+  SELECT 'h' || CAST(user_id % {AUDIT_HOSTS_MOD} AS VARCHAR) AS host, ts
+  FROM events
+),
+g AS (
+  SELECT host, ts, lag(ts) OVER (PARTITION BY host ORDER BY ts) AS prev
+  FROM ev
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS events,
+       CAST(sum(CASE WHEN prev IS NOT NULL
+                      AND epoch_ms(ts) - epoch_ms(prev) < {AUDIT_DELAY_MS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+       max(epoch_ms(ts)) AS last_ts_ms
+FROM g GROUP BY host
+"""
