@@ -1,16 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-Image kernels (round 4): uncompressed BMP (24/32 bpp) decodes, resizes,
-and feature-extracts FOR REAL with pure numpy — no codec library needed
-(``decode_bmp`` / ``encode_bmp`` / ``resize_nearest``), mirroring the
-reference's mail-image ``Resize`` (``DataStructure/Library.fs:70-126``).
-Compressed formats (JPEG/PNG) still need Pillow/libjpeg, which this
-container lacks, so THOSE decodes remain honestly stubbed
-(``NotImplementedError``) behind ``fake=True`` deterministic stand-ins;
-audio/video kernels likewise (torchaudio/pyav). All Spark-side plumbing
-is real and tested either way: asset schema, Arrow batch shape through
-``mapInPandas``, partitioning by asset kind, and output schemas.
+Image kernels: uncompressed BMP (24/32 bpp, round 4) and PNG (round 5:
+stdlib ``zlib`` inflate + full five-filter scanline unfiltering, 8-bit
+gray/gray-alpha/RGB/RGBA) decode, resize, and feature-extract FOR REAL
+with no codec library (``decode_bmp`` / ``decode_png`` / ``encode_*`` /
+``resize_nearest``), mirroring the reference's mail-image ``Resize``
+(``DataStructure/Library.fs:70-126``). JPEG still needs Pillow/libjpeg,
+which this container lacks (re-probed round 5: ``import PIL`` fails), so
+that decode remains honestly stubbed (``NotImplementedError``) behind
+``fake=True`` deterministic stand-ins; video likewise (pyav). All
+Spark-side plumbing is real and tested either way: asset schema, Arrow
+batch shape through ``mapInPandas``, partitioning by asset kind, and
+output schemas.
 """
 
 from __future__ import annotations
@@ -107,6 +109,156 @@ def encode_bmp(img) -> bytes:
     return header + px
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# colortype → channel count for the supported subset (palette needs PLTE
+# indexing — out of scope; 16-bit needs per-sample byte pairing)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(data: bytes):
+    """PNG → uint8 array (H, W, C), stdlib ``zlib`` + numpy — no Pillow
+    (r4 verdict next-round #2: PNG needs only deflate + per-scanline
+    unfiltering). Supported: non-interlaced 8-bit grayscale / gray+alpha
+    / RGB / RGBA (colortypes 0/4/2/6), all five scanline filters
+    (None/Sub/Up/Average/Paeth, full spec math incl. the Paeth
+    predictor). Palette/16-bit/interlaced raise ValueError. Reference
+    analogue: ``DataStructure/Library.fs:70-126`` (System.Drawing decode)."""
+    import zlib
+
+    import numpy as np
+
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = []
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos:pos + 4], "big")
+        typ = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        if len(body) < ln:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8:13]
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} interlace={interlace}"
+        )
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG colortype {ctype}")
+    ch = _PNG_CHANNELS[ctype]
+    if w <= 0 or h <= 0:
+        raise ValueError("bad PNG dimensions")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) < h * (1 + stride):
+        raise ValueError("truncated PNG pixel data")
+    out = np.empty((h, stride), np.uint8)
+    prior = bytearray(stride)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prior[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - ch] if x >= ch else 0
+                upleft = prior[x - ch] if x >= ch else 0
+                line[x] = (line[x] + _paeth(left, prior[x], upleft)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = np.frombuffer(bytes(line), np.uint8)
+        prior = line
+    return out.reshape(h, w, ch)
+
+
+def encode_png(img) -> bytes:
+    """uint8 array (H, W, C) with C in {1,2,3,4} → PNG bytes (filter 0
+    scanlines, one IDAT) — fixture inverse of :func:`decode_png`."""
+    import zlib
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big") + typ + body
+            + zlib.crc32(typ + body).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes((8, ctype, 0, 0, 0))
+    )
+    flat = img.reshape(h, w * ch)
+    raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _to_rgb(img):
+    """(H, W, C) any supported channel count → (H, W, 3) RGB: grayscale
+    broadcasts, alpha drops (features/resize operate on color planes)."""
+    import numpy as np
+
+    ch = img.shape[2]
+    if ch == 1:
+        return np.repeat(img, 3, axis=2)
+    if ch == 2:
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(img[:, :, :3])
+
+
+def decode_image(data: bytes):
+    """RGB uint8 (H, W, 3) from any REAL kernel this container supports:
+    BMP (numpy) or PNG (zlib+numpy). JPEG/video still need libjpeg/pyav
+    and raise ValueError for the caller to classify."""
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[: len(_PNG_SIG)] == _PNG_SIG:
+        return _to_rgb(decode_png(data))
+    raise ValueError("not a BMP or PNG file")
+
+
 def resize_nearest(img, tw: int, th: int):
     """Nearest-neighbour resize (numpy index sampling) — deterministic,
     library-free; the reference's Resize keeps aspect via its caller
@@ -120,14 +272,15 @@ def resize_nearest(img, tw: int, th: int):
 
 
 def _decode_image_real(data: bytes, dim: int = 8):
-    """Real decode + feature vector: BMP decodes with numpy; compressed
-    formats need Pillow/libjpeg (absent in this container) and raise."""
+    """Real decode + feature vector: BMP (numpy) and PNG (zlib+numpy)
+    decode for real; JPEG needs Pillow/libjpeg (absent) and raises."""
     try:
-        img = decode_bmp(data)
+        img = decode_image(data)
     except ValueError as e:
         raise NotImplementedError(
-            f"non-BMP image decode requires Pillow/libjpeg — not available "
-            f"in this container ({e}); use fake=True for the stand-in"
+            f"non-BMP/PNG image decode requires Pillow/libjpeg — not "
+            f"available in this container ({e}); use fake=True for the "
+            f"stand-in"
         )
     import numpy as np
 
@@ -158,6 +311,28 @@ def make_bmp_assets(spark, n: int) -> DataFrame:
         rows.append(
             (i, "image", encode_bmp(img), "image/bmp", w, h, 0)
         )
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def make_png_assets(spark, n: int) -> DataFrame:
+    """Asset table whose payloads are REAL PNGs (deterministic gradients;
+    channel count cycles gray → gray+alpha → RGB → RGBA so every
+    supported colortype is exercised end-to-end)."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        w, h = 63 + i % 32, 48 + i % 24
+        yy, xx = np.mgrid[0:h, 0:w]
+        planes = [
+            (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+            (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+            np.full((h, w), i % 256, np.uint8),
+            ((xx + yy) % 256).astype(np.uint8),
+        ]
+        ch = i % 4 + 1
+        img = np.stack(planes[:ch], axis=2)
+        rows.append((i, "image", encode_png(img), "image/png", w, h, 0))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
@@ -365,7 +540,11 @@ def resize_images(assets: DataFrame, max_px: int = 512) -> DataFrame:
                 "resized": [],
             }
             for aid, data in zip(b["asset_id"], b["bytes"]):
-                img = decode_bmp(bytes(data))
+                raw = bytes(data)
+                is_png = raw[: len(_PNG_SIG)] == _PNG_SIG
+                # native-channel decode so re-encode stays in-format
+                # (PNG keeps its alpha/gray planes; BMP stays 24 bpp RGB)
+                img = decode_png(raw) if is_png else decode_bmp(raw)
                 h, w = img.shape[:2]
                 scale = min(max_px / w, max_px / h, 1.0)
                 if scale < 1.0:
@@ -374,7 +553,9 @@ def resize_images(assets: DataFrame, max_px: int = 512) -> DataFrame:
                     tw = int(w * scale + 0.5)
                     th = int(h * scale + 0.5)
                     img = resize_nearest(img, tw, th)
-                    out["bytes"].append(encode_bmp(img))
+                    out["bytes"].append(
+                        encode_png(img) if is_png else encode_bmp(img)
+                    )
                     out["resized"].append(True)
                 else:
                     tw, th = w, h

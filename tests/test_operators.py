@@ -532,12 +532,149 @@ class TestMultimodal:
         assert sorted(r["feature"] for r in rows) == sorted(r["feature"] for r in again)
 
     def test_real_decode_raises_for_compressed_formats(self):
-        """Non-BMP payloads still need a codec lib (Pillow absent in this
-        container) — honestly raised, never silently faked."""
+        """JPEG/unknown payloads still need a codec lib (Pillow absent in
+        this container, re-probed r5) — honestly raised, never silently
+        faked. PNG no longer raises: it decodes for real (zlib+numpy)."""
         with pytest.raises(NotImplementedError):
             MM._decode_image_real(b"xx")
         with pytest.raises(NotImplementedError):
+            MM._decode_image_real(b"\xff\xd8\xff\xe0jpeg-soi")
+        # corrupt PNG: classified, not decoded
+        with pytest.raises(NotImplementedError):
             MM._decode_image_real(b"\x89PNG\r\n\x1a\nrest")
+
+    def test_png_roundtrip_all_colortypes(self):
+        """REAL PNG kernel: encode→decode is the identity for 8-bit
+        grayscale / gray+alpha / RGB / RGBA, incl. 1-px edges."""
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        for ch in (1, 2, 3, 4):
+            for w, h in ((5, 3), (1, 1), (63, 2)):
+                img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+                got = MM.decode_png(MM.encode_png(img))
+                assert np.array_equal(got, img), (ch, w, h)
+
+    def test_png_unfilters_all_five_filter_types(self):
+        """Golden-array check of the scanline unfilterers: craft an IDAT
+        whose rows cycle through filters None/Sub/Up/Average/Paeth
+        (applying the spec's forward filter math), then assert decode
+        reproduces the original pixels exactly."""
+        import zlib
+
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (10, 7, 3), dtype=np.uint8)
+        h, w, ch = img.shape
+        flat = img.reshape(h, w * ch).astype(np.int32)
+        stride = w * ch
+        raw = bytearray()
+        prior = np.zeros(stride, np.int32)
+        for y in range(h):
+            ftype = y % 5
+            line = flat[y]
+            left = np.concatenate([np.zeros(ch, np.int32), line[:-ch]])
+            upleft = np.concatenate([np.zeros(ch, np.int32), prior[:-ch]])
+            if ftype == 0:
+                filt = line
+            elif ftype == 1:
+                filt = line - left
+            elif ftype == 2:
+                filt = line - prior
+            elif ftype == 3:
+                filt = line - ((left + prior) >> 1)
+            else:
+                pred = np.array(
+                    [MM._paeth(int(a), int(b), int(c))
+                     for a, b, c in zip(left, prior, upleft)],
+                    np.int32,
+                )
+                filt = line - pred
+            raw.append(ftype)
+            raw += (filt & 0xFF).astype(np.uint8).tobytes()
+            prior = line
+
+        def chunk(typ, body):
+            return (len(body).to_bytes(4, "big") + typ + body
+                    + zlib.crc32(typ + body).to_bytes(4, "big"))
+
+        ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                + bytes((8, 2, 0, 0, 0)))
+        png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+        assert np.array_equal(MM.decode_png(png), img)
+
+    def test_png_rejects_unsupported_variants(self):
+        import numpy as np
+
+        img = np.zeros((2, 2, 3), np.uint8)
+        ok = MM.encode_png(img)
+        # flip IHDR fields: depth (byte 24 after sig+len+type), colortype,
+        # interlace live at fixed offsets in the first chunk
+        sig = len(b"\x89PNG\r\n\x1a\n") + 8
+        for off, val in ((sig + 8, 16), (sig + 9, 3), (sig + 12, 1)):
+            bad = bytearray(ok)
+            bad[off] = val
+            with pytest.raises(ValueError):
+                MM.decode_png(bytes(bad))
+
+    def test_real_png_image_features_e2e(self, spark):
+        """fake=False over REAL PNG payloads: Spark features equal the
+        driver-side kernel output per asset (all four colortypes)."""
+        assets = MM.make_png_assets(spark, 8)
+        got = {
+            r["asset_id"]: r["feature"]
+            for r in MM.image_features(assets, fake=False).collect()
+        }
+        assert len(got) == 8
+        for r in assets.collect():
+            want = MM._decode_image_real(bytes(r["bytes"]))
+            assert [round(float(x), 6) for x in got[r["asset_id"]]] == want
+
+    def test_png_resize_stays_png_and_into_cosine_pairs(self, spark):
+        """resize_images over PNG assets re-encodes IN-FORMAT with the
+        aspect-preserving dims, and the resized features still feed the
+        similarity operators: a duplicated asset surfaces as a top
+        cosine neighbour (decode→resize→feature→ANN, all real)."""
+        import numpy as np
+
+        from companycatalogcrawlerparser_spark.operators import (
+            similarity as SIM,
+        )
+
+        assets = MM.make_png_assets(spark, 6)
+        resized = MM.resize_images(assets, max_px=32)
+        rows = {r["asset_id"]: r for r in resized.collect()}
+        for r in assets.collect():
+            out = rows[r["asset_id"]]
+            raw = bytes(out["bytes"])
+            assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+            assert out["resized"]
+            img = MM.decode_png(raw)
+            assert img.shape[:2] == (out["height"], out["width"])
+            assert max(out["width"], out["height"]) <= 32
+            # channel count preserved in-format
+            assert img.shape[2] == r["asset_id"] % 4 + 1
+        # duplicate asset 0 under a new id → its feature vector is
+        # identical, so brute-force cosine top-1 must pair them
+        dup = assets.filter(F.col("asset_id") == 0).select(
+            F.lit(100).cast("long").alias("asset_id"), "kind", "bytes",
+            "mime", "width", "height", "duration_ms",
+        )
+        feats = MM.image_features(
+            assets.unionByName(dup), fake=False, dim=8
+        ).select(
+            F.col("asset_id").alias("vec_id"),
+            F.col("feature").alias("embedding"),
+        )
+        top = SIM.cosine_topk_bruteforce(
+            feats.filter(F.col("vec_id").isin(0, 100)), feats, k=1
+        ).collect()
+        assert {(r["query_id"], r["neighbor_id"]) for r in top} == {
+            (0, 100), (100, 0)
+        }
 
     def test_bmp_roundtrip_and_padding(self):
         """REAL kernel: encode→decode is the identity, incl. widths whose
