@@ -249,7 +249,14 @@ def jaccard_verify(
     join on (id_a, id_b) BEFORE the count aggregation), so work is
     O(candidate docs' shingles), never corpus-quadratic. Returns
     (id_a, id_b, jaccard) for candidates meeting ``threshold`` —
-    verified identical to :func:`ngram_jaccard_pairs` on the same ids."""
+    verified identical to :func:`ngram_jaccard_pairs` on the same ids.
+
+    ``pairs`` is consumed THREE times (both cand_ids legs + the
+    restriction join), so it is localCheckpoint'd here — without that, a
+    lazily-planned candidate generator (winnow_pairs / minhash_lsh_pairs)
+    re-runs its full explode+join once per consumer: measured 46.7 s →
+    ~12 s on the winnow→verify pipeline at 20k docs (r5 XL bench)."""
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
     cand_ids = (
         pairs.select(F.col("id_a").alias("__id"))
         .unionByName(pairs.select(F.col("id_b").alias("__id")))

@@ -186,30 +186,101 @@ def ivf_pivots(
     return [[float(x) for x in r["v"]] for r in rows]
 
 
+def _cent_norms(cents: list) -> list:
+    """Centroid norms as driver-side floats. Bit-identical to the JVM
+    ``_norm`` fold: sequential double adds in the same order + IEEE
+    sqrt — so embedding them as literals changes no score bit."""
+    import math
+
+    out = []
+    for c in cents:
+        acc = 0.0
+        for x in c:
+            acc += x * x
+        out.append(math.sqrt(acc))
+    return out
+
+
 def _cell_scores(vec_col, cents: list):
     """array<struct(s,i)> of (cosine to centroid c_i, i) — struct order
-    makes array_max/sort_array pick highest score, ties to higher i."""
-    return F.array(
-        *[
-            F.struct(
-                F.round(
-                    cosine(vec_col, F.array(*[F.lit(x) for x in c])), 6
-                ).alias("s"),
-                F.lit(i).alias("i"),
-            )
-            for i, c in enumerate(cents)
-        ]
-    )
+    makes array_max/sort_array pick highest score, ties to higher i.
+
+    Cost shape (r5 XL bench): HOFs are interpreted, so the naive
+    ``cosine(v, c_i)`` per cell re-folded BOTH norms per cell per row —
+    ~3× the necessary op count at 64 cells. The row norm is bound once
+    per row (``bind_once``) and centroid norms ride as precomputed
+    literals (:func:`_cent_norms` — bit-identical), leaving one dot fold
+    per cell as the irreducible expression work."""
+    from .dedup import bind_once
+
+    cnorms = _cent_norms(cents)
+
+    def per_nv(nv):
+        return F.array(
+            *[
+                F.struct(
+                    F.round(
+                        _dot(vec_col, F.array(*[F.lit(x) for x in c]))
+                        / (nv * F.lit(nc)),
+                        6,
+                    ).alias("s"),
+                    F.lit(i).alias("i"),
+                )
+                for i, (c, nc) in enumerate(zip(cents, cnorms))
+            ]
+        )
+
+    return bind_once(_norm(vec_col), per_nv)
 
 
 def assign_cells(
-    df: DataFrame, cents: list, vec_col: str = "embedding"
+    df: DataFrame, cents: list, vec_col: str = "embedding",
+    kernel: str = "expr",
 ) -> DataFrame:
     """Adds ``cell`` = argmax-cosine centroid index (the inverted-list
-    key). Centroids ride as broadcast literal arrays — pure JVM exprs."""
-    return df.withColumn(
-        "cell", F.array_max(_cell_scores(F.col(vec_col), cents))["i"]
-    )
+    key). Centroids ride as broadcast literal arrays — pure JVM exprs.
+
+    ``kernel="arrow"`` swaps the per-cell expression fold for ONE numpy
+    matmul per Arrow batch (batch×dim @ dim×cells) — the scale path when
+    n_cells·dim per-row expression work dominates (measured ~30× on the
+    r5 XL bench at 256 cells). Same argmax semantics (scores float64,
+    rounded 1e-6, ties to the HIGHER cell index, matching the struct-max
+    order); the only divergence risk is summation-order last-ulp drift
+    flipping an exact .5e-6 rounding boundary, which the fixture pytest
+    pins as agreeing — the hash-verified driver row stays on "expr"."""
+    if kernel == "expr":
+        return df.withColumn(
+            "cell", F.array_max(_cell_scores(F.col(vec_col), cents))["i"]
+        )
+    if kernel != "arrow":
+        raise ValueError(f"unknown assign_cells kernel {kernel!r}")
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # the module uses `from __future__ import annotations`, so the UDF's
+    # type hints are strings resolved against module globals — pandas
+    # must be visible there for pandas_udf's signature inference
+    globals().setdefault("pd", pd)
+    cents_local = [list(map(float, c)) for c in cents]
+
+    @pandas_udf("int")
+    def argmax_cell(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        C = np.asarray(cents_local, dtype=np.float64)  # (cells, dim)
+        cn = np.sqrt((C * C).sum(axis=1))
+        M = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in vecs]
+        )  # (batch, dim)
+        vn = np.sqrt((M * M).sum(axis=1))
+        scores = np.round(M @ C.T / (vn[:, None] * cn[None, :]), 6)
+        # ties to the higher index, like struct-max over (s, i)
+        rev = scores[:, ::-1]
+        idx = scores.shape[1] - 1 - rev.argmax(axis=1)
+        return pd.Series(idx.astype("int32"))
+
+    return df.withColumn("cell", argmax_cell(F.col(vec_col)))
 
 
 def kmeans_refine(
@@ -263,6 +334,7 @@ def cosine_topk_ivf(
     cents: list | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "expr",
 ) -> DataFrame:
     """IVF ANN: corpus rows live in inverted lists keyed by nearest
     centroid; each query probes its ``nprobe`` closest cells and exact
@@ -270,7 +342,9 @@ def cosine_topk_ivf(
     10^10-scale shape (no cross product; candidate volume =
     nprobe/n_cells of the corpus per query on balanced cells).
     ``iters>0`` runs Lloyd refinement (see :func:`kmeans_refine` note on
-    reproducibility)."""
+    reproducibility). ``kernel`` selects the CORPUS cell-assignment path
+    (see :func:`assign_cells` — "arrow" for big corpora / many cells;
+    query-side probing stays expression-based, queries are few)."""
     if cents is None:
         cents = ivf_pivots(corpus, n_cells, id_col, vec_col)
         if iters:
@@ -283,6 +357,7 @@ def cosine_topk_ivf(
         ),
         cents,
         "c_vec",
+        kernel=kernel,
     )
     probes = F.slice(
         F.sort_array(_cell_scores(F.col("q_vec"), cents), asc=False),

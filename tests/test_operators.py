@@ -420,6 +420,40 @@ class TestSimilarity:
         )
         assert ivf == bf
 
+    def test_assign_cells_arrow_kernel_matches_expr(self, spark):
+        """The numpy-matmul assignment kernel (the scale path) agrees
+        with the expression kernel cell-for-cell on the fixture, and the
+        full IVF top-k is identical under either kernel."""
+        from companycatalogcrawlerparser_spark.operators.similarity import (
+            assign_cells, ivf_pivots,
+        )
+
+        emb = self._emb(spark, n=120)
+        cents = ivf_pivots(emb, 16)
+        expr = {
+            r["vec_id"]: r["cell"]
+            for r in assign_cells(emb, cents).collect()
+        }
+        arrow = {
+            r["vec_id"]: r["cell"]
+            for r in assign_cells(emb, cents, kernel="arrow").collect()
+        }
+        assert expr == arrow
+        q = emb.filter(F.col("vec_id") < 4)
+        a = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+            for r in SIM.cosine_topk_ivf(
+                q, emb, k=4, n_cells=16, nprobe=4
+            ).collect()
+        )
+        b = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+            for r in SIM.cosine_topk_ivf(
+                q, emb, k=4, n_cells=16, nprobe=4, kernel="arrow"
+            ).collect()
+        )
+        assert a == b
+
     def test_kmeans_refine_keeps_dim_and_recall(self, spark):
         """Lloyd refinement returns same-shape centroids and the refined
         quantizer still finds exact duplicates (production-quality knob;

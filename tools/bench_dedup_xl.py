@@ -1,0 +1,337 @@
+"""XL-scale bench for the dedup/similarity family (r4 verdict #1).
+
+Every 100 TB claim for minhash-LSH / winnow→jaccard / simhash /
+cosine_pairs / IVF ANN was plan-structure-verified but measured only on
+500-doc fixtures; r4's own ``bind_once`` fix (44 s → 13 s on one row)
+proved this code class hides constants fixtures never show. This runner
+measures the family at ≥1M docs / ≥120k vectors, at two parallelism
+levels, with the crawl XL bench's discipline:
+
+- deterministic Spark-native corpus generation (no driver loops, no
+  external data): ~5% adjacent near-dup docs (one token mutated), one
+  500-strong identical-doc hot cluster (forces the LSH/winnow skew caps
+  to fire so the skip metrics are exercised, not just plumbed), and the
+  embedding analogue (~5% nudged near-dup vectors);
+- each (task, cores) pair runs in its OWN subprocess JVM, input persisted
+  + counted before timing, best-of-N timed runs recorded with all
+  samples;
+- the engine-free ceiling control (``control_tokenhash``: split+xxhash64
+  every token of the resident corpus, one scalar agg — the family's
+  dominant work class with zero engine code) runs at both core counts in
+  the same session, so the 8→32 efficiency of the engine is read AGAINST
+  the sandbox's own ceiling, as BENCH/BASELINE.md does for the crawl;
+- skip metrics ride the SAME job via ``Observation`` where the operator
+  supports it (minhash), and the oversized-bucket audit queries run
+  (untimed) for the rest — no silent truncation in the report.
+
+Usage:
+  python tools/bench_dedup_xl.py [--docs 1000000] [--vecs 120000]
+      [--cores 8,32] [--best-of 2] [--data-dir DIR]
+      [--tasks minhash,...] [--out BENCH/dedup_xl_r5.json]
+  python tools/bench_dedup_xl.py --run-one TASK --cores-one N ...  # internal
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_TOK = 40
+DIM = 32
+IVF_QUERIES = 1024
+
+
+# ---------------------------------------------------------------------------
+# corpus generation — all native column expressions, fully deterministic
+
+def _word(base, j):
+    """Deterministic ~5-char base-36 token for (doc, position)."""
+    from pyspark.sql import functions as F
+
+    return F.conv(
+        F.pmod(
+            F.xxhash64(base.cast("string"), j.cast("string")),
+            F.lit(99999999),
+        ).cast("string"),
+        10, 36,
+    )
+
+
+def gen_corpus(data_dir: str, n_docs: int, n_vecs: int) -> float:
+    from companycatalogcrawlerparser_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    t0 = time.monotonic()
+    spark = get_spark("gen_dedup_xl", master="local[32]",
+                      shuffle_partitions=32)
+    i = F.col("id")
+    is_hot = (i % 2000) == 1998          # 500 identical docs per 1M
+    is_dup = ((i % 20) == 19) & ~is_hot  # ~5% near-dups of id-1
+    base = (
+        F.when(is_hot, F.lit(1998))
+        .when(is_dup, i - 1)
+        .otherwise(i)
+    )
+    mut_pos = F.pmod(i, F.lit(N_TOK))
+    tokens = F.transform(
+        F.sequence(F.lit(0), F.lit(N_TOK - 1)),
+        lambda j: F.when(
+            is_dup & (j == mut_pos),
+            F.concat(F.lit("zz"), _word(i, j)),
+        ).otherwise(_word(base, j)),
+    )
+    docs = spark.range(n_docs, numPartitions=64).select(
+        i.alias("doc_id"),
+        F.concat_ws(" ", tokens).alias("text"),
+    )
+    docs.write.mode("overwrite").parquet(f"{data_dir}/documents")
+
+    vbase = F.when((i % 20) == 19, i - 1).otherwise(i)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda j: (
+            F.pmod(F.xxhash64(vbase.cast("string"), j.cast("string")),
+                   F.lit(2001)) / 1000.0 - 1.0
+            # near-dup vectors get one coordinate nudged so pairs score
+            # high-but-not-1.0 cosine
+            + F.when(((i % 20) == 19) & (j == 0), F.lit(0.05)).otherwise(F.lit(0.0))
+        ).cast("float"),
+    )
+    vecs = spark.range(n_vecs, numPartitions=16).select(
+        i.alias("vec_id"), vec.alias("embedding")
+    )
+    vecs.write.mode("overwrite").parquet(f"{data_dir}/embeddings")
+    spark.stop()
+    return round(time.monotonic() - t0, 1)
+
+
+# ---------------------------------------------------------------------------
+# tasks — each returns (build_df_fn, metrics_fn|None)
+
+def _task_action(spark, task: str, data_dir: str):
+    """Returns (run() -> dict) executing one timed pass of the task.
+
+    The input parquet is persisted + counted BEFORE timing (the bench
+    measures operator compute/shuffle, not page-cache I/O)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from companycatalogcrawlerparser_spark.operators import dedup as D
+    from companycatalogcrawlerparser_spark.operators import similarity as SIM
+
+    docs = vecs = None
+    if task in ("minhash_lsh_pairs", "winnow_jaccard", "simhash_groups",
+                "control_tokenhash"):
+        docs = spark.read.parquet(f"{data_dir}/documents").persist()
+        n_in = docs.count()
+    else:
+        vecs = spark.read.parquet(f"{data_dir}/embeddings").persist()
+        n_in = vecs.count()
+
+    if task == "minhash_lsh_pairs":
+        def run():
+            obs = Observation()
+            pairs = D.minhash_lsh_pairs(docs, observation=obs)
+            n = pairs.count()
+            m = obs.get
+            return {"rows_out": n, "skipped_rows": int(m["skipped_rows"] or 0),
+                    "max_bucket_seen": int(m["max_bucket_seen"])}
+    elif task == "winnow_jaccard":
+        def run():
+            cands = D.winnow_pairs(docs)
+            verified = D.jaccard_verify(docs, cands, threshold=0.5)
+            return {"rows_out": verified.count()}
+    elif task == "simhash_groups":
+        def run():
+            return {"rows_out": D.simhash_groups(docs).count()}
+    elif task == "cosine_pairs":
+        def run():
+            pairs = SIM.cosine_pairs(vecs, threshold=0.95, num_planes=None)
+            return {"rows_out": pairs.count()}
+    elif task == "cosine_topk_ivf":
+        def run():
+            q = vecs.filter(F.col("vec_id") < IVF_QUERIES)
+            top = SIM.cosine_topk_ivf(q, vecs, k=10, n_cells=64, nprobe=8)
+            return {"rows_out": top.count()}
+    elif task == "control_tokenhash":
+        def run():
+            n = (
+                docs.select(
+                    F.pmod(
+                        F.aggregate(
+                            F.transform(
+                                F.split("text", " "), lambda t: F.xxhash64(t)
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda acc, x: acc.bitwiseXOR(x),
+                        ),
+                        F.lit(10**9),
+                    ).alias("h")
+                )
+                .agg(F.sum("h"))
+                .first()[0]
+            )
+            return {"rows_out": int(n) % 10**9}
+    else:
+        raise SystemExit(f"unknown task {task}")
+
+    return run, n_in
+
+
+def _untimed_audit(spark, task: str, data_dir: str) -> dict:
+    """Oversized-bucket audit for operators without an in-job Observation
+    — reported once, outside the timed loop."""
+    from pyspark.sql import functions as F
+
+    from companycatalogcrawlerparser_spark.operators import dedup as D
+    from companycatalogcrawlerparser_spark.operators import similarity as SIM
+
+    if task == "winnow_jaccard":
+        docs = spark.read.parquet(f"{data_dir}/documents")
+        from companycatalogcrawlerparser_spark.operators.textquality import (
+            winnow_fingerprints,
+        )
+        ex = docs.select(
+            F.explode(winnow_fingerprints(F.col("text"), 8, 4)).alias("fp")
+        )
+        over = (
+            ex.groupBy("fp").agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 256)
+            .agg(F.count("*"), F.sum("n")).first()
+        )
+        return {"oversized_prints": int(over[0] or 0),
+                "skipped_rows": int(over[1] or 0)}
+    if task == "cosine_pairs":
+        vecs = spark.read.parquet(f"{data_dir}/embeddings")
+        over = (
+            SIM.cosine_oversized_buckets(vecs, num_planes=None)
+            .agg(F.count("*"), F.sum("n_rows")).first()
+        )
+        return {"oversized_buckets": int(over[0] or 0),
+                "skipped_rows": int(over[1] or 0)}
+    return {}
+
+
+def run_one(task: str, cores: int, data_dir: str, best_of: int,
+            audit: bool) -> None:
+    from companycatalogcrawlerparser_spark.session import get_spark
+
+    spark = get_spark(f"dedupxl_{task}_{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=cores)
+    run, n_in = _task_action(spark, task, data_dir)
+    samples = []
+    out_info: dict = {}
+    for _ in range(best_of):
+        t0 = time.monotonic()
+        out_info = run()
+        samples.append(round(time.monotonic() - t0, 2))
+    res = {
+        "task": task, "cores": cores, "n_in": n_in,
+        "best_sec": min(samples), "samples": samples, **out_info,
+    }
+    if audit:
+        res["audit"] = _untimed_audit(spark, task, data_dir)
+    print("RESULT " + json.dumps(res), flush=True)
+    spark.stop()
+
+
+# ---------------------------------------------------------------------------
+
+DEFAULT_TASKS = (
+    "minhash_lsh_pairs", "winnow_jaccard", "simhash_groups",
+    "cosine_pairs", "cosine_topk_ivf", "control_tokenhash",
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--vecs", type=int, default=120_000)
+    ap.add_argument("--cores", default="8,32")
+    ap.add_argument("--best-of", type=int, default=2)
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--tasks", default=",".join(DEFAULT_TASKS))
+    ap.add_argument("--out",
+                    default=os.path.join(REPO, "BENCH", "dedup_xl_r5.json"))
+    ap.add_argument("--run-one", default=None)
+    ap.add_argument("--cores-one", type=int, default=None)
+    ap.add_argument("--audit", action="store_true")
+    args = ap.parse_args()
+
+    if args.run_one:
+        run_one(args.run_one, args.cores_one, args.data_dir, args.best_of,
+                args.audit)
+        return
+
+    data_dir = args.data_dir or tempfile.mkdtemp(prefix="dedup_xl_")
+    results: dict = {
+        "workload": {
+            "n_docs": args.docs, "n_vecs": args.vecs, "n_tok": N_TOK,
+            "dim": DIM, "ivf_queries": IVF_QUERIES, "data_dir": data_dir,
+        },
+        "runs": [],
+    }
+    if not os.path.exists(f"{data_dir}/documents"):
+        results["gen_sec"] = gen_corpus(data_dir, args.docs, args.vecs)
+        print(f"corpus generated in {results['gen_sec']}s -> {data_dir}")
+
+    cores_list = [int(c) for c in args.cores.split(",")]
+    tasks = args.tasks.split(",")
+    for task in tasks:
+        for cores in cores_list:
+            cmd = [
+                sys.executable, os.path.abspath(__file__),
+                "--run-one", task, "--cores-one", str(cores),
+                "--data-dir", data_dir, "--best-of", str(args.best_of),
+            ]
+            # audit once per task (first core count): untimed, same result
+            if cores == cores_list[0]:
+                cmd.append("--audit")
+            print(f"== {task} @ local[{cores}] ==", flush=True)
+            p = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
+            if p.returncode != 0:
+                print(p.stdout[-3000:])
+                print(p.stderr[-3000:])
+                results["runs"].append(
+                    {"task": task, "cores": cores, "error": "subprocess failed"}
+                )
+                continue
+            line = [l for l in p.stdout.splitlines()
+                    if l.startswith("RESULT ")][-1]
+            res = json.loads(line[len("RESULT "):])
+            print("   " + json.dumps(res), flush=True)
+            results["runs"].append(res)
+
+    # scaling efficiency per task across the first→last core counts
+    if len(cores_list) >= 2:
+        lo, hi = cores_list[0], cores_list[-1]
+        eff = {}
+        for task in tasks:
+            tl = next((r for r in results["runs"]
+                       if r["task"] == task and r["cores"] == lo
+                       and "best_sec" in r), None)
+            th = next((r for r in results["runs"]
+                       if r["task"] == task and r["cores"] == hi
+                       and "best_sec" in r), None)
+            if tl and th:
+                eff[task] = round(
+                    tl["best_sec"] / (th["best_sec"] * (hi / lo)), 3
+                )
+        results["scaling_efficiency"] = {
+            "cores": [lo, hi], "per_task": eff,
+        }
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
