@@ -836,9 +836,20 @@ SELECT doc_id,
 FROM documents, LATERAL unnest(generate_series(1, greatest(length({norm_text}) - 4, 1))) AS u(i)
 """
 
+    # r5 scheme: ONE md5 per shingle, 15 hex chars parsed to int64, then a
+    # universal-hash family (h0*a_i+b_i mod P) per seed — twin of
+    # operators.dedup.minhash_signature (P = 2^31-1 keeps products in
+    # int64 for both engines; min is duplicate-insensitive so no DISTINCT)
+    _mh_h0 = (
+        "(CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) "
+        f"% {D.MINHASH_P})"
+    )
+
     def minhash_aggs(n):
         return ",\n       ".join(
-            f"min(md5(shingle || '#{i}')) AS mh_{i}" for i in range(n)
+            f"min((h0 * {D.minhash_a(i)} + {D.minhash_b(i)}) "
+            f"% {D.MINHASH_P}) AS mh_{i}"
+            for i in range(n)
         )
 
     simhash_bits = " || ".join(
@@ -1065,18 +1076,21 @@ r AS (SELECT doc_id, content_hash,
 SELECT doc_id, content_hash FROM r WHERE rn = 1
 """,
         "minhash_signature": f"""
-WITH sh AS ({shingle_src})
+WITH sh AS ({shingle_src}),
+h AS (SELECT doc_id, {_mh_h0} AS h0 FROM sh)
 SELECT doc_id, {minhash_aggs(4)}
-FROM sh GROUP BY doc_id
+FROM h GROUP BY doc_id
 """,
         "minhash_lsh_pairs": f"""
 WITH sh AS ({shingle_src}),
-sig AS (SELECT doc_id, {minhash_aggs(8)} FROM sh GROUP BY doc_id),
+h AS (SELECT doc_id, {_mh_h0} AS h0 FROM sh),
+sig AS (SELECT doc_id, {minhash_aggs(8)} FROM h GROUP BY doc_id),
 banded AS (
-  SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS key FROM sig
-  UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig
-  UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig
-  UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sig),
+  SELECT doc_id, 0 AS band,
+         CAST(mh_0 AS VARCHAR) || '|' || CAST(mh_1 AS VARCHAR) AS key FROM sig
+  UNION ALL SELECT doc_id, 1, CAST(mh_2 AS VARCHAR) || '|' || CAST(mh_3 AS VARCHAR) FROM sig
+  UNION ALL SELECT doc_id, 2, CAST(mh_4 AS VARCHAR) || '|' || CAST(mh_5 AS VARCHAR) FROM sig
+  UNION ALL SELECT doc_id, 3, CAST(mh_6 AS VARCHAR) || '|' || CAST(mh_7 AS VARCHAR) FROM sig),
 -- skew cap: buckets above 256 members are excluded from pair generation
 -- (same contract as the Spark operator's max_bucket)
 ok AS (SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 256),

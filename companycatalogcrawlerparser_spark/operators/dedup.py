@@ -68,14 +68,36 @@ def shingles(text, k: int = 5) -> "F.Column":
     return bind_once(normalized(text), per_t)
 
 
+MINHASH_P = 2147483647  # 2^31 - 1 (prime): mod keeps products in int64
+
+
+def minhash_a(i: int) -> int:
+    """Per-seed multiplier for the universal-hash family."""
+    return (1000003 * (i + 1)) % MINHASH_P
+
+
+def minhash_b(i: int) -> int:
+    """Per-seed offset for the universal-hash family."""
+    return 12345 + 7919 * i
+
+
 def minhash_signature(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 5, num_hashes: int = 12,
 ) -> DataFrame:
-    """(id, mh_0..mh_{n-1}): per-seed min over md5(shingle || '#' || seed).
+    """(id, mh_0..mh_{n-1}): per-seed min over a universal-hash family
+    applied to ONE base hash per shingle.
 
-    md5 hex strings compare lexicographically the same in Spark and DuckDB,
-    so the signature is engine-portable without 64-bit integer tricks.
+    Hash scheme (r5 — was min(md5(shingle||'#i')) per seed, i.e. 12 md5
+    evaluations per shingle, the dominant cost of the whole operator at
+    1M docs: ~12 µs/doc of pure md5): the base
+    ``h0 = int(md5(shingle)[:15 hex]) mod P`` costs one md5, and each
+    seed derives ``mh_i = (h0·a_i + b_i) mod P`` — two int64 ops. Both
+    halves are engine-portable: DuckDB parses the same 15 hex chars via
+    ``CAST('0x'||substr(md5(s),1,15) AS BIGINT)`` and P = 2^31-1 keeps
+    ``h0·a_i`` inside int64 for Spark's ANSI mode and DuckDB alike.
+    ``min`` is duplicate-insensitive, so the oracle needs no DISTINCT on
+    shingles even though :func:`shingles` dedups.
 
     Formulation note (measured at sf0.1): explode→hash-aggregate stays in
     whole-stage codegen with map-side partial min and beats the
@@ -84,9 +106,21 @@ def minhash_signature(
     so the classic explode pattern wins despite the shuffle."""
     ex = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    ).select(
+        F.col(id_col),
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+            .cast("long"),
+            F.lit(MINHASH_P),
+        ).alias("h0"),
     )
     aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh_{i}")
+        F.min(
+            F.pmod(
+                F.col("h0") * F.lit(minhash_a(i)) + F.lit(minhash_b(i)),
+                F.lit(MINHASH_P),
+            )
+        ).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return ex.groupBy(id_col).agg(*aggs)
