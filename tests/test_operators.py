@@ -257,6 +257,39 @@ class TestDedup:
         assert got["skipped_rows"] == 1200
         assert got["max_bucket_seen"] == 300
 
+    def test_winnow_prints_exploded_equals_array_form(self, spark):
+        """The scale-shape print generator (explode → codegen md5 →
+        frame-window rolling min, r5) is value-equal to the per-row array
+        formulation across edge cases: empty text, text shorter than k,
+        fewer grams than the window, case/whitespace normalization."""
+        from companycatalogcrawlerparser_spark.operators.dedup import (
+            winnow_prints,
+        )
+        from companycatalogcrawlerparser_spark.operators.textquality import (
+            winnow_fingerprints,
+        )
+
+        rows = [
+            (0, "a"), (1, ""), (2, "abcdefgh"), (3, "abcdefghij klm  nOp"),
+            (4, "x" * 7), (5, "the quick brown fox jumps over a dog " * 5),
+            (6, "ABC  def\tGHI\njkl mno pqr stu vwx yz 0123456789 " * 3),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        old = {
+            (r["doc_id"], r["fp"])
+            for r in df.select(
+                "doc_id",
+                F.explode(
+                    winnow_fingerprints(F.col("text"), 8, 4)
+                ).alias("fp"),
+            ).collect()
+        }
+        new = {
+            (r["doc_id"], r["fp"])
+            for r in winnow_prints(df).collect()
+        }
+        assert old == new and len(old) > 10
+
     def test_winnow_pairs_survive_mid_document_insertion(self, spark):
         """Winnowing's selling point vs fixed-band minhash: an INSERTION
         in the middle of a doc perturbs only the windows it touches, so

@@ -156,10 +156,14 @@ def _task_action(spark, task: str, data_dir: str):
         def run():
             pairs = SIM.cosine_pairs(vecs, threshold=0.95, num_planes=None)
             return {"rows_out": pairs.count()}
-    elif task == "cosine_topk_ivf":
+    elif task in ("cosine_topk_ivf", "cosine_topk_ivf_expr"):
+        kern = "arrow" if task == "cosine_topk_ivf" else "expr"
+
         def run():
             q = vecs.filter(F.col("vec_id") < IVF_QUERIES)
-            top = SIM.cosine_topk_ivf(q, vecs, k=10, n_cells=64, nprobe=8)
+            top = SIM.cosine_topk_ivf(
+                q, vecs, k=10, n_cells=64, nprobe=8, kernel=kern
+            )
             return {"rows_out": top.count()}
     elif task == "control_tokenhash":
         def run():
@@ -247,7 +251,8 @@ def run_one(task: str, cores: int, data_dir: str, best_of: int,
 
 DEFAULT_TASKS = (
     "minhash_lsh_pairs", "winnow_jaccard", "simhash_groups",
-    "cosine_pairs", "cosine_topk_ivf", "control_tokenhash",
+    "cosine_pairs", "cosine_topk_ivf", "cosine_topk_ivf_expr",
+    "control_tokenhash",
 )
 
 
