@@ -1,18 +1,19 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-Image kernels: uncompressed BMP (24/32 bpp, round 4) and PNG (round 5:
-stdlib ``zlib`` inflate + full five-filter scanline unfiltering, 8-bit
-gray/gray-alpha/RGB/RGBA) decode, resize, and feature-extract FOR REAL
-with no codec library (``decode_bmp`` / ``decode_png`` / ``encode_*`` /
-``resize_nearest``), mirroring the reference's mail-image ``Resize``
-(``DataStructure/Library.fs:70-126``). JPEG still needs Pillow/libjpeg,
-which this container lacks (re-probed round 5: ``import PIL`` fails), so
-that decode remains honestly stubbed (``NotImplementedError``) behind
-``fake=True`` deterministic stand-ins; video likewise (pyav). All
-Spark-side plumbing is real and tested either way: asset schema, Arrow
-batch shape through ``mapInPandas``, partitioning by asset kind, and
-output schemas.
+Image kernels — ALL REAL, no codec library: uncompressed BMP (24/32
+bpp, round 4), PNG (round 5: stdlib ``zlib`` inflate + full five-filter
+scanline unfiltering, 8-bit gray/gray-alpha/RGB/RGBA), and baseline
+JPEG (round 5: pure-numpy ITU-T T.81 sequential codec in
+``operators/jpeg.py`` — Huffman entropy coding, any sampling layout
+incl. 4:2:0, restart markers; progressive/arithmetic raise) decode,
+resize, and feature-extract via ``decode_bmp`` / ``decode_png`` /
+``jpeg.decode_jpeg`` / ``encode_*`` / ``resize_nearest``, mirroring the
+reference's mail-image ``Resize`` (``DataStructure/Library.fs:70-126``).
+Only VIDEO remains honestly stubbed (pyav absent, re-probed round 5)
+behind the ``fake=True`` deterministic stand-in. All Spark-side plumbing
+is real and tested: asset schema, Arrow batch shape through
+``mapInPandas``, partitioning by asset kind, and output schemas.
 """
 
 from __future__ import annotations
@@ -249,14 +250,18 @@ def _to_rgb(img):
 
 
 def decode_image(data: bytes):
-    """RGB uint8 (H, W, 3) from any REAL kernel this container supports:
-    BMP (numpy) or PNG (zlib+numpy). JPEG/video still need libjpeg/pyav
-    and raise ValueError for the caller to classify."""
+    """RGB uint8 (H, W, 3) from any REAL kernel: BMP (numpy), PNG
+    (zlib+numpy), or baseline JPEG (pure-numpy T.81 codec). Unknown
+    formats raise ValueError for the caller to classify."""
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[: len(_PNG_SIG)] == _PNG_SIG:
         return _to_rgb(decode_png(data))
-    raise ValueError("not a BMP or PNG file")
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)
+    raise ValueError("not a BMP/PNG/JPEG file")
 
 
 def resize_nearest(img, tw: int, th: int):
@@ -272,15 +277,16 @@ def resize_nearest(img, tw: int, th: int):
 
 
 def _decode_image_real(data: bytes, dim: int = 8):
-    """Real decode + feature vector: BMP (numpy) and PNG (zlib+numpy)
-    decode for real; JPEG needs Pillow/libjpeg (absent) and raises."""
+    """Real decode + feature vector: BMP, PNG, and baseline JPEG decode
+    for real; unknown/exotic formats (progressive JPEG, WebP, ...) would
+    need a codec library (absent) and raise."""
     try:
         img = decode_image(data)
     except ValueError as e:
         raise NotImplementedError(
-            f"non-BMP/PNG image decode requires Pillow/libjpeg — not "
-            f"available in this container ({e}); use fake=True for the "
-            f"stand-in"
+            f"image format beyond the BMP/PNG/baseline-JPEG kernels "
+            f"requires a codec library — not available in this container "
+            f"({e}); use fake=True for the stand-in"
         )
     import numpy as np
 
@@ -333,6 +339,37 @@ def make_png_assets(spark, n: int) -> DataFrame:
         ch = i % 4 + 1
         img = np.stack(planes[:ch], axis=2)
         rows.append((i, "image", encode_png(img), "image/png", w, h, 0))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def make_jpeg_assets(spark, n: int) -> DataFrame:
+    """Asset table whose payloads are REAL baseline JPEGs from the
+    pure-numpy codec (subsampling alternates 4:4:4 / 4:2:0; every third
+    asset uses restart intervals; smooth gradients keep the lossy
+    roundtrip high-PSNR so features stay discriminative)."""
+    import numpy as np
+
+    from .jpeg import encode_jpeg
+
+    rows = []
+    for i in range(n):
+        w, h = 63 + i % 32, 48 + i % 24
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [
+                (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+                (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+                np.full((h, w), (40 + 13 * i) % 256, np.uint8),
+            ],
+            axis=2,
+        )
+        data = encode_jpeg(
+            img,
+            quality=90,
+            subsampling="420" if i % 2 else "444",
+            restart_interval=2 if i % 3 == 0 else 0,
+        )
+        rows.append((i, "image", data, "image/jpeg", w, h, 0))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
@@ -542,9 +579,18 @@ def resize_images(assets: DataFrame, max_px: int = 512) -> DataFrame:
             for aid, data in zip(b["asset_id"], b["bytes"]):
                 raw = bytes(data)
                 is_png = raw[: len(_PNG_SIG)] == _PNG_SIG
+                is_jpeg = raw[:2] == b"\xff\xd8"
                 # native-channel decode so re-encode stays in-format
-                # (PNG keeps its alpha/gray planes; BMP stays 24 bpp RGB)
-                img = decode_png(raw) if is_png else decode_bmp(raw)
+                # (PNG keeps its alpha/gray planes; BMP stays 24 bpp RGB;
+                # JPEG re-encodes baseline 4:4:4)
+                if is_png:
+                    img = decode_png(raw)
+                elif is_jpeg:
+                    from .jpeg import decode_jpeg
+
+                    img = decode_jpeg(raw)
+                else:
+                    img = decode_bmp(raw)
                 h, w = img.shape[:2]
                 scale = min(max_px / w, max_px / h, 1.0)
                 if scale < 1.0:
@@ -553,9 +599,15 @@ def resize_images(assets: DataFrame, max_px: int = 512) -> DataFrame:
                     tw = int(w * scale + 0.5)
                     th = int(h * scale + 0.5)
                     img = resize_nearest(img, tw, th)
-                    out["bytes"].append(
-                        encode_png(img) if is_png else encode_bmp(img)
-                    )
+                    if is_png:
+                        enc = encode_png(img)
+                    elif is_jpeg:
+                        from .jpeg import encode_jpeg
+
+                        enc = encode_jpeg(img)
+                    else:
+                        enc = encode_bmp(img)
+                    out["bytes"].append(enc)
                     out["resized"].append(True)
                 else:
                     tw, th = w, h

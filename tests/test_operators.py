@@ -687,6 +687,89 @@ class TestMultimodal:
             with pytest.raises(ValueError):
                 MM.decode_png(bytes(bad))
 
+    def test_jpeg_roundtrip_psnr_all_layouts(self):
+        """REAL baseline JPEG codec (pure numpy, T.81): encode→decode
+        stays high-fidelity on smooth content across 4:4:4 / 4:2:0,
+        restart intervals, odd dims, and grayscale; flat blocks are
+        exact at q90."""
+        import numpy as np
+
+        from companycatalogcrawlerparser_spark.operators.jpeg import (
+            decode_jpeg, encode_jpeg,
+        )
+
+        def psnr(a, b):
+            mse = ((a.astype(float) - b.astype(float)) ** 2).mean()
+            return 10 * np.log10(255 ** 2 / max(mse, 1e-9))
+
+        for h, w in ((16, 16), (17, 23), (64, 48), (1, 1)):
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack([
+                (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+                (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+                np.full((h, w), 100, np.uint8),
+            ], axis=2)
+            for sub in ("444", "420"):
+                for ri in (0, 2):
+                    back = decode_jpeg(encode_jpeg(
+                        img, quality=90, subsampling=sub,
+                        restart_interval=ri,
+                    ))
+                    assert back.shape == img.shape
+                    bar = 30.0 if sub == "420" else 38.0
+                    assert psnr(back, img) > bar, (h, w, sub, ri)
+        # flat grayscale is exactly reconstructed
+        g = np.full((24, 24), 77, np.uint8)
+        back = decode_jpeg(encode_jpeg(g, quality=90))
+        assert (back == 77).all() and back.shape == (24, 24, 3)
+
+    def test_jpeg_rejects_non_baseline(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from companycatalogcrawlerparser_spark.operators.jpeg import (
+            decode_jpeg, encode_jpeg,
+        )
+
+        ok = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+        with _pytest.raises(ValueError):
+            decode_jpeg(b"nope")
+        # flip SOF0 (FFC0) to SOF2 (FFC2, progressive) → classified reject
+        i = bytes(ok).find(b"\xff\xc0")
+        bad = bytearray(ok)
+        bad[i + 1] = 0xC2
+        with _pytest.raises(ValueError):
+            decode_jpeg(bytes(bad))
+
+    def test_real_jpeg_image_features_and_resize_e2e(self, spark):
+        """fake=False over REAL JPEG payloads: Spark features equal the
+        driver-side kernel, and resize_images re-encodes IN-FORMAT (JFIF
+        magic preserved, aspect dims, still decodable)."""
+        from companycatalogcrawlerparser_spark.operators.jpeg import (
+            decode_jpeg,
+        )
+
+        assets = MM.make_jpeg_assets(spark, 6)
+        got = {
+            r["asset_id"]: r["feature"]
+            for r in MM.image_features(assets, fake=False).collect()
+        }
+        assert len(got) == 6
+        for r in assets.collect():
+            want = MM._decode_image_real(bytes(r["bytes"]))
+            assert [round(float(x), 6) for x in got[r["asset_id"]]] == want
+        resized = {
+            r["asset_id"]: r
+            for r in MM.resize_images(assets, max_px=32).collect()
+        }
+        for r in assets.collect():
+            out = resized[r["asset_id"]]
+            raw = bytes(out["bytes"])
+            assert raw[:2] == b"\xff\xd8" and out["resized"]
+            img = decode_jpeg(raw)
+            assert img.shape[:2] == (out["height"], out["width"])
+            assert max(out["width"], out["height"]) <= 32
+
     def test_real_png_image_features_e2e(self, spark):
         """fake=False over REAL PNG payloads: Spark features equal the
         driver-side kernel output per asset (all four colortypes)."""

@@ -129,7 +129,7 @@ def _task_action(spark, task: str, data_dir: str):
 
     docs = vecs = None
     if task in ("minhash_lsh_pairs", "winnow_jaccard", "simhash_groups",
-                "control_tokenhash"):
+                "exact_dedup", "text_metrics", "control_tokenhash"):
         docs = spark.read.parquet(f"{data_dir}/documents").persist()
         n_in = docs.count()
     else:
@@ -152,6 +152,27 @@ def _task_action(spark, task: str, data_dir: str):
     elif task == "simhash_groups":
         def run():
             return {"rows_out": D.simhash_groups(docs).count()}
+    elif task == "exact_dedup":
+        def run():
+            return {"rows_out": D.exact_dedup(docs).count()}
+    elif task == "text_metrics":
+        def run():
+            from companycatalogcrawlerparser_spark.operators import (
+                textquality as TQ,
+            )
+
+            m = docs.select(
+                "doc_id",
+                TQ.predict_lang(F.col("text")).alias("lang"),
+                TQ.token_count(F.col("text")).alias("n_tok"),
+                TQ.quality_score(F.col("text")).alias("q"),
+                TQ.fingerprint(F.col("text")).alias("fp"),
+            )
+            got = m.agg(
+                F.count("*"), F.countDistinct("fp"), F.sum("n_tok")
+            ).first()
+            return {"rows_out": int(got[0]),
+                    "distinct_fp": int(got[1]), "sum_tokens": int(got[2])}
     elif task == "cosine_pairs":
         def run():
             pairs = SIM.cosine_pairs(vecs, threshold=0.95, num_planes=None)
