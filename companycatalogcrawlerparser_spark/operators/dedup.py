@@ -359,9 +359,24 @@ def winnow_prints(
     ``textquality.winnow_fingerprints`` stays as the per-row array API
     (metrics rows want a column, not an exploded table)."""
     t = F.col("__t")
-    base = df.select(F.col(id_col), normalized(F.col(text_col)).alias("__t"))
+    # n_grams is a pure function of the text length (the idx sequence
+    # size), so the last-window-start bound rides the explode as a
+    # precomputed column — no count() window pass over the gram rows
+    base = df.select(
+        F.col(id_col),
+        normalized(F.col(text_col)).alias("__t"),
+    ).select(
+        F.col(id_col),
+        t,
+        F.greatest(
+            F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+            - F.lit(window - 1),
+            F.lit(1),
+        ).alias("__last_start"),
+    )
     ex = base.select(
         F.col(id_col),
+        F.col("__last_start"),
         F.explode(
             F.sequence(
                 F.lit(1), F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
@@ -370,22 +385,18 @@ def winnow_prints(
         t,
     ).select(
         F.col(id_col),
+        F.col("__last_start"),
         F.col("i"),
         F.substring(F.md5(t.substr(F.col("i"), F.lit(k))), 1, 8).alias("g"),
     )
-    part = Window.partitionBy(id_col)
-    frame = part.orderBy("i").rowsBetween(0, window - 1)
+    frame = Window.partitionBy(id_col).orderBy("i").rowsBetween(0, window - 1)
     return (
         ex.withColumn("__min", F.min("g").over(frame))
-        .withColumn("__ng", F.count("*").over(part))
         # only window START positions exist in the array formulation:
         # nwin = max(n_grams - window + 1, 1); the frame min at clamped
         # tail positions equals the array slice-clamp min, so the filter
         # alone reproduces the spec exactly
-        .filter(
-            F.col("i")
-            <= F.greatest(F.col("__ng") - F.lit(window - 1), F.lit(1))
-        )
+        .filter(F.col("i") <= F.col("__last_start"))
         .select(F.col(id_col), F.col("__min").alias("fp"))
         .distinct()
     )
