@@ -940,6 +940,83 @@ class TestMultimodal:
             if not needs:
                 assert bytes(r["bytes"]) == orig[aid]
 
+    def test_avi_roundtrip_lossless_and_rejects_compressed(self):
+        """REAL video kernel: uncompressed-AVI encode→decode is the
+        IDENTITY on frames and fps (unlike lossy JPEG); a compressed
+        fourcc is classified, not silently faked."""
+        import numpy as np
+
+        from companycatalogcrawlerparser_spark.operators.avi import (
+            decode_avi, encode_avi,
+        )
+
+        rng = np.random.default_rng(13)
+        for h, w, n in ((24, 32, 5), (17, 23, 3), (8, 8, 1)):
+            frames = [
+                rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                for _ in range(n)
+            ]
+            fps, back = decode_avi(encode_avi(frames, fps=10))
+            assert fps == 10.0 and len(back) == n
+            for a, b in zip(frames, back):
+                assert np.array_equal(a, b)
+        bad = bytearray(encode_avi([np.zeros((8, 8, 3), np.uint8)], 5))
+        i = bytes(bad).find(b"strf")
+        bad[i + 8 + 16] = 0x34  # biCompression != BI_RGB
+        with pytest.raises(ValueError):
+            decode_avi(bytes(bad))
+
+    def test_real_avi_frame_sample_and_features_e2e(self, spark):
+        """fake=False frame sampling decodes REAL AVIs in Spark: sampled
+        frame hashes equal the driver-side kernel; a duplicated video
+        surfaces as its twin's top cosine neighbour via
+        video_frame_features → brute-force ANN (video → embedding →
+        similarity, all real)."""
+        from companycatalogcrawlerparser_spark.operators import (
+            similarity as SIM,
+        )
+
+        assets = MM.make_avi_assets(spark, 4, frames=6, fps=4)
+        got = sorted(
+            (r["asset_id"], r["frame_no"], r["frame_hash"])
+            for r in MM.frame_sample(
+                assets, every_ms=500, fake=False
+            ).collect()
+        )
+        want = []
+        for r in assets.collect():
+            import hashlib as _hl
+
+            for fno, img in MM._sample_avi_frames(bytes(r["bytes"]), 500):
+                want.append((
+                    r["asset_id"], fno,
+                    _hl.blake2b(img.tobytes(), digest_size=8).hexdigest(),
+                ))
+        assert got == sorted(want) and len(got) >= 8
+        # duplicate asset 0 under id 100 → per-frame features identical →
+        # its frames' nearest neighbours are the twin's frames
+        dup = assets.filter(F.col("asset_id") == 0).select(
+            F.lit(100).cast("long").alias("asset_id"), "kind", "bytes",
+            "mime", "width", "height", "duration_ms",
+        )
+        feats = MM.video_frame_features(
+            assets.unionByName(dup), every_ms=1500
+        ).select(
+            (F.col("asset_id") * 1000 + F.col("frame_no")).alias("vec_id"),
+            F.col("feature").alias("embedding"),
+        )
+        q = feats.filter(F.col("vec_id") == 0)
+        top = SIM.cosine_topk_bruteforce(q, feats, k=1).collect()
+        assert top and top[0]["neighbor_id"] == 100000  # dup's frame 0
+
+    def test_avi_decode_classifies_non_avi(self):
+        from companycatalogcrawlerparser_spark.operators.avi import (
+            decode_avi,
+        )
+
+        with pytest.raises(ValueError):
+            decode_avi(b"not an avi")
+
     def test_frame_sample_dedup_integration(self, spark):
         """VERDICT r01 #10 — the frame_sample plumbing composes with the
         dedup family end-to-end: duplicated video payloads produce
