@@ -691,6 +691,13 @@ def q_ann_lsh_recall(spark, sf_dir) -> DataFrame:
         "ivf": SIM.cosine_topk_ivf(
             q, df, k=ANN_K, n_cells=ANN_CELLS, nprobe=ANN_NPROBE
         ),
+        # r5 arrow kernel under the hard signal: hash-equality with the
+        # SAME Python-twin top-k as kind='ivf' verifies the numpy-matmul
+        # cell assignment end-to-end (see ann_lsh_oracle_sql note)
+        "ivf_arrow": SIM.cosine_topk_ivf(
+            q, df, k=ANN_K, n_cells=ANN_CELLS, nprobe=ANN_NPROBE,
+            kernel="arrow",
+        ),
     }
     base = brute.select("query_id").distinct()
     out = None
@@ -713,8 +720,8 @@ def ann_lsh_oracle_sql() -> str:
     d = ann_oracle_dir()
     brute = os.path.join(d, "ann_brute.parquet")
 
-    def one(kind: str) -> str:
-        approx = os.path.join(d, f"ann_{kind}.parquet")
+    def one(kind: str, src: str | None = None) -> str:
+        approx = os.path.join(d, f"ann_{src or kind}.parquet")
         return f"""
 SELECT '{kind}' AS kind, q.query_id,
        coalesce(m.n_match, 0) AS n_match,
@@ -728,7 +735,15 @@ LEFT JOIN (
   GROUP BY 1) m USING (query_id)
 """
 
-    return one("lsh") + " UNION ALL " + one("ivf")
+    # ivf_arrow reuses the ivf oracle parquet: the arrow kernel's CONTRACT
+    # is cell-for-cell agreement with the expr kernel, so hash-matching
+    # the same Python-twin top-k IS the kernel-equivalence check under
+    # the driver's hard signal (stronger than the fixture pytest alone)
+    return (
+        one("lsh")
+        + " UNION ALL " + one("ivf")
+        + " UNION ALL " + one("ivf_arrow", src="ivf")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -225,6 +225,28 @@ class TestSimilarityPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_winnow_and_minhash_plans_native_no_cartesian(self, spark):
+        """The r5 scale shapes stay JVM-native end-to-end: winnow_prints
+        (explode → codegen md5 → frame window) and minhash_lsh_pairs
+        (one-md5 universal-hash family) must contain no Python eval node
+        and no cartesian/nested-loop join. (Codegen span checks don't
+        survive AQE's pre-execution formatted plan — the no-Python
+        assertions are the load-bearing part: md5/pmod/conv are codegen'd
+        whenever no interpreter node interrupts the stage.)"""
+        from companycatalogcrawlerparser_spark.operators import dedup as D
+
+        docs = spark.createDataFrame(
+            [(i, f"doc text number {i} with words " * 3) for i in range(40)],
+            "doc_id long, text string",
+        )
+        for df in (D.winnow_prints(docs), D.winnow_pairs(docs),
+                   D.minhash_lsh_pairs(docs)):
+            plan = _plan(df)
+            for node in ("BatchEvalPython", "ArrowEvalPython",
+                         "MapInPandas", "CartesianProduct",
+                         "BroadcastNestedLoopJoin"):
+                assert node not in plan, node
+
     def test_sitemap_ingest_no_python_no_cartesian(self, spark):
         from companycatalogcrawlerparser_spark import harness as H
         from companycatalogcrawlerparser_spark.operators import sitemap as SM
