@@ -179,13 +179,16 @@ def _task_action(spark, task: str, data_dir: str):
             return {"rows_out": pairs.count()}
     elif task in ("cosine_topk_ivf", "cosine_topk_ivf_expr"):
         kern = "arrow" if task == "cosine_topk_ivf" else "expr"
+        n_cells = int(os.environ.get("IVF_CELLS", "64"))
+        nprobe = int(os.environ.get("IVF_NPROBE", "8"))
 
         def run():
             q = vecs.filter(F.col("vec_id") < IVF_QUERIES)
             top = SIM.cosine_topk_ivf(
-                q, vecs, k=10, n_cells=64, nprobe=8, kernel=kern
+                q, vecs, k=10, n_cells=n_cells, nprobe=nprobe, kernel=kern
             )
-            return {"rows_out": top.count()}
+            return {"rows_out": top.count(), "n_cells": n_cells,
+                    "nprobe": nprobe}
     elif task == "control_tokenhash":
         def run():
             n = (
