@@ -342,13 +342,20 @@ def cosine_topk_ivf(
     10^10-scale shape (no cross product; candidate volume =
     nprobe/n_cells of the corpus per query on balanced cells).
     ``iters>0`` runs Lloyd refinement (see :func:`kmeans_refine` note on
-    reproducibility). ``kernel`` selects the CORPUS cell-assignment path
-    (see :func:`assign_cells` — "arrow" for big corpora / many cells;
-    query-side probing stays expression-based, queries are few)."""
+    reproducibility). ``kernel`` selects the scale path: "arrow" uses the
+    numpy-matmul cell assignment (:func:`assign_cells`) AND per-cell
+    matmul candidate scoring with local top-k (:func:`_ivf_topk_arrow`)
+    instead of the per-pair interpreted HOF dot — query-side cell
+    probing stays expression-based either way (queries are few, and the
+    probe order is part of the pinned semantics)."""
     if cents is None:
         cents = ivf_pivots(corpus, n_cells, id_col, vec_col)
         if iters:
             cents = kmeans_refine(corpus, cents, iters, id_col, vec_col)
+    if kernel == "arrow":
+        return _ivf_topk_arrow(
+            queries, corpus, cents, k, nprobe, id_col, vec_col
+        )
     c = assign_cells(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
@@ -388,6 +395,98 @@ def cosine_topk_ivf(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def _ivf_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cents: list,
+    k: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow IVF scoring path: corpus cells assigned by the numpy-matmul
+    kernel, then candidates scored PER CELL with one matmul and cut to a
+    LOCAL top-k before the global window — any global top-k member is by
+    definition in its own cell's top-k (same (score desc, neighbor asc)
+    tie-break locally and globally), so the result is identical to the
+    expression path's global re-rank while the interpreted per-pair HOF
+    dot (the r5 500k-vector bench's dominant IVF cost, ~10 s of 23) is
+    replaced by <1 s of BLAS. The cell cogroup shuffles the corpus once
+    (the expr path streams it through a broadcast join instead); cell
+    balance is IVF's standing assumption — a pathologically hot cell
+    concentrates one task either way (``kmeans_refine`` is the balancing
+    knob). Scores are float64 matmul rounded 1e-6, like everything in
+    this module; matmul summation order can differ from the sequential
+    fold in the last ulp, so an exact .5e-6 rounding boundary could in
+    principle flip — the ann_lsh driver row hash-compares this whole
+    path against the Python twin, which would surface it."""
+    import pandas as pd  # noqa: F401
+
+    c = assign_cells(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+        ),
+        cents,
+        "c_vec",
+        kernel="arrow",
+    )
+    probes = F.slice(
+        F.sort_array(_cell_scores(F.col("q_vec"), cents), asc=False),
+        1,
+        nprobe,
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        .withColumn("cell", F.explode(F.transform(probes, lambda p: p["i"])))
+    )
+
+    def score(key, cdf: "pd.DataFrame", qdf: "pd.DataFrame"):
+        import numpy as np
+        import pandas as pd
+
+        if cdf.empty or qdf.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "score": []}
+            )
+        C = np.stack([np.asarray(v, np.float64) for v in cdf["c_vec"]])
+        cn = np.sqrt((C * C).sum(axis=1))
+        Q = np.stack([np.asarray(v, np.float64) for v in qdf["q_vec"]])
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        S = np.round(Q @ C.T / (qn[:, None] * cn[None, :]), 6)
+        nid = cdf["neighbor_id"].to_numpy()
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(qdf["query_id"]):
+            mask = nid != qid
+            s = S[qi][mask]
+            cand = nid[mask]
+            # local top-k by (score desc, neighbor asc): lexsort's last
+            # key is primary
+            order = np.lexsort((cand, -s))[:k]
+            out_q.extend([qid] * len(order))
+            out_n.extend(cand[order])
+            out_s.extend(s[order])
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
+        )
+
+    local = (
+        c.groupBy("cell")
+        .cogroup(q.groupBy("cell"))
+        .applyInPandas(score, "query_id long, neighbor_id long, score double")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
