@@ -723,6 +723,31 @@ class TestMultimodal:
         back = decode_jpeg(encode_jpeg(g, quality=90))
         assert (back == 77).all() and back.shape == (24, 24, 3)
 
+    def test_jpeg_huffman_tables_prefix_free_and_inverse(self):
+        """The Annex-K code generation must yield prefix-free codes
+        (no code is a prefix of a longer one — the decoder's bit-at-a-
+        time walk relies on it) and the decode lookup must invert the
+        encode table exactly, for all four standard tables."""
+        from companycatalogcrawlerparser_spark.operators import jpeg as J
+
+        tables = (
+            (J.DC_LUMA_BITS, J.DC_LUMA_VALS),
+            (J.DC_CHROMA_BITS, J.DC_CHROMA_VALS),
+            (J.AC_LUMA_BITS, J.AC_LUMA_VALS),
+            (J.AC_CHROMA_BITS, J.AC_CHROMA_VALS),
+        )
+        for bits, vals in tables:
+            enc = J._huff_codes(bits, vals)
+            dec = J._huff_lookup(bits, vals)
+            assert len(enc) == len(vals) and len(dec) == len(vals)
+            for sym, (code, ln) in enc.items():
+                assert dec[(code, ln)] == sym
+            # prefix-free: no (code, len) extends to another valid code
+            codes = set(dec)
+            for code, ln in codes:
+                for ln2, in [(l,) for l in range(1, ln)]:
+                    assert (code >> (ln - ln2), ln2) not in codes
+
     def test_jpeg_rejects_non_baseline(self):
         import numpy as np
         import pytest as _pytest
