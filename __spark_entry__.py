@@ -836,19 +836,26 @@ SELECT doc_id,
 FROM documents, LATERAL unnest(generate_series(1, greatest(length({norm_text}) - 4, 1))) AS u(i)
 """
 
-    # r5 scheme: ONE md5 per shingle, 15 hex chars parsed to int64, then a
-    # universal-hash family (h0*a_i+b_i mod P) per seed — twin of
-    # operators.dedup.minhash_signature (P = 2^31-1 keeps products in
-    # int64 for both engines; min is duplicate-insensitive so no DISTINCT)
-    _mh_h0 = (
-        "(CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) "
+    # r6 scheme: ONE md5 per shingle, TWO independent 31-bit bases parsed
+    # from it (hex 1-8 / 9-16), then a universal-hash family
+    # (base*a_i+b_i mod P) per seed, bases alternating across seeds —
+    # twin of operators.dedup.minhash_signature (P = 2^31-1 keeps
+    # products in int64 for both engines; min is duplicate-insensitive so
+    # no DISTINCT; alternation means a band-key collapse needs BOTH bases
+    # to collide)
+    _mh_ha = (
+        "(CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) "
+        f"% {D.MINHASH_P})"
+    )
+    _mh_hb = (
+        "(CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) "
         f"% {D.MINHASH_P})"
     )
 
     def minhash_aggs(n):
         return ",\n       ".join(
-            f"min((h0 * {D.minhash_a(i)} + {D.minhash_b(i)}) "
-            f"% {D.MINHASH_P}) AS mh_{i}"
+            f"min(({'ha' if i % 2 == 0 else 'hb'} * {D.minhash_a(i)} "
+            f"+ {D.minhash_b(i)}) % {D.MINHASH_P}) AS mh_{i}"
             for i in range(n)
         )
 
@@ -1077,13 +1084,13 @@ SELECT doc_id, content_hash FROM r WHERE rn = 1
 """,
         "minhash_signature": f"""
 WITH sh AS ({shingle_src}),
-h AS (SELECT doc_id, {_mh_h0} AS h0 FROM sh)
+h AS (SELECT doc_id, {_mh_ha} AS ha, {_mh_hb} AS hb FROM sh)
 SELECT doc_id, {minhash_aggs(4)}
 FROM h GROUP BY doc_id
 """,
         "minhash_lsh_pairs": f"""
 WITH sh AS ({shingle_src}),
-h AS (SELECT doc_id, {_mh_h0} AS h0 FROM sh),
+h AS (SELECT doc_id, {_mh_ha} AS ha, {_mh_hb} AS hb FROM sh),
 sig AS (SELECT doc_id, {minhash_aggs(8)} FROM h GROUP BY doc_id),
 banded AS (
   SELECT doc_id, 0 AS band,

@@ -94,9 +94,14 @@ def decode_avi(data: bytes):
     compression = None
     bitcount = None
     frames = []
+    # Streams are numbered by strl order in hdrl; only the FIRST vids
+    # stream's strf and frame chunks count — an audio strl preceding the
+    # video one must not have its WAVEFORMATEX read as BITMAPINFOHEADER.
+    stream_idx = -1
+    vids_idx = None
 
     def walk(pos: int, end: int, in_movi: bool):
-        nonlocal w, h, fps, compression, bitcount
+        nonlocal w, h, fps, compression, bitcount, stream_idx, vids_idx
         while pos + 8 <= end:
             fourcc = data[pos:pos + 4]
             size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
@@ -108,19 +113,24 @@ def decode_avi(data: bytes):
                 ltype = data[body_start:body_start + 4]
                 walk(body_start + 4, body_end, ltype == b"movi" or in_movi)
             elif fourcc == b"strh":
+                stream_idx += 1
                 fcc_type = data[body_start:body_start + 4]
-                if fcc_type == b"vids" and fps == 0.0:
+                if fcc_type == b"vids" and vids_idx is None:
+                    vids_idx = stream_idx
                     scale, rate = struct.unpack(
                         "<II", data[body_start + 20:body_start + 28]
                     )
                     if scale:
                         fps = rate / scale
-            elif fourcc == b"strf" and bitcount is None and size >= 16:
+            elif (fourcc == b"strf" and stream_idx == vids_idx
+                  and bitcount is None and size >= 16):
                 (_bisize, bw, bh, _planes, bc, comp) = struct.unpack(
                     "<IiiHHI", data[body_start:body_start + 20]
                 )
                 w, h, bitcount, compression = bw, abs(bh), bc, comp
-            elif in_movi and fourcc[2:4] in (b"db", b"dc") and size:
+            elif (in_movi and fourcc[2:4] in (b"db", b"dc") and size
+                  and vids_idx is not None
+                  and fourcc[:2] == b"%02d" % vids_idx):
                 if compression not in (0, None):
                     raise ValueError(
                         f"compressed AVI stream (biCompression="

@@ -99,12 +99,19 @@ def minhash_signature(
 
     Hash scheme (r5 — was min(md5(shingle||'#i')) per seed, i.e. 12 md5
     evaluations per shingle, the dominant cost of the whole operator at
-    1M docs: ~12 µs/doc of pure md5): the base
-    ``h0 = int(md5(shingle)[:15 hex]) mod P`` costs one md5, and each
-    seed derives ``mh_i = (h0·a_i + b_i) mod P`` — two int64 ops. Both
-    halves are engine-portable: DuckDB parses the same 15 hex chars via
-    ``CAST('0x'||substr(md5(s),1,15) AS BIGINT)`` and P = 2^31-1 keeps
-    ``h0·a_i`` inside int64 for Spark's ANSI mode and DuckDB alike.
+    1M docs: ~12 µs/doc of pure md5): ONE md5 per shingle, from which TWO
+    independent 31-bit bases are parsed (hex chars 1-8 and 9-16), and
+    seed i derives ``mh_i = (base·a_i + b_i) mod P`` — two int64 ops —
+    alternating bases across seeds (even seeds use hA, odd hB). Why two
+    bases (r6): a single base mod P=2^31-1 collides distinct shingles at
+    birthday scale ~2^15.5 — ~10^7-10^8 distinct shingles at the XL bench
+    give many collisions, and a base collision was shared by ALL seeds,
+    correlating signature errors. Alternating decorrelates: every band
+    (bands ≥ 2 rows) mixes both bases, so a band-key collapse now needs a
+    simultaneous hA AND hB collision (~2^-62 per pair). Both halves stay
+    engine-portable: DuckDB parses the same hex spans via
+    ``CAST('0x'||substr(md5(s),1,8) AS BIGINT)`` and P = 2^31-1 keeps
+    ``base·a_i`` inside int64 for Spark's ANSI mode and DuckDB alike.
     ``min`` is duplicate-insensitive, so the oracle needs no DISTINCT on
     shingles even though :func:`shingles` dedups.
 
@@ -113,20 +120,27 @@ def minhash_signature(
     "shuffle-free" ``array_min(transform(…))`` per-row variant by ~10× —
     nested higher-order functions are CodegenFallback (interpreted, boxed),
     so the classic explode pattern wins despite the shuffle."""
+    def base(md5_col, start):
+        return F.pmod(
+            F.conv(F.substring(md5_col, start, 8), 16, 10).cast("long"),
+            F.lit(MINHASH_P),
+        )
+
     ex = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle")
     ).select(
         F.col(id_col),
-        F.pmod(
-            F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
-            .cast("long"),
-            F.lit(MINHASH_P),
-        ).alias("h0"),
+        F.md5(F.col("shingle")).alias("__m"),
+    ).select(
+        F.col(id_col),
+        base(F.col("__m"), 1).alias("ha"),
+        base(F.col("__m"), 9).alias("hb"),
     )
     aggs = [
         F.min(
             F.pmod(
-                F.col("h0") * F.lit(minhash_a(i)) + F.lit(minhash_b(i)),
+                F.col("ha" if i % 2 == 0 else "hb") * F.lit(minhash_a(i))
+                + F.lit(minhash_b(i)),
                 F.lit(MINHASH_P),
             )
         ).alias(f"mh_{i}")

@@ -173,6 +173,10 @@ class _BitWriter:
             self.buf.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.buf.append(0x00)
+        # Truncate to the live bits: without this the Python bigint keeps
+        # every emitted byte and each shift copies the whole scan — codec
+        # cost goes quadratic in scan length.
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self):
         if self.nbits:
@@ -401,6 +405,9 @@ class _BitReader:
                 self.pos += 1
             self.acc = (self.acc << 8) | b
             self.nbits += 8
+        # Drop already-consumed high bits (read_bit only decrements
+        # nbits); unbounded acc makes every shift copy the whole scan.
+        self.acc &= (1 << self.nbits) - 1
 
     def read_bit(self) -> int:
         if self.nbits == 0:
@@ -492,6 +499,13 @@ def decode_jpeg(data: bytes):
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("only 8-bit baseline supported")
+            if nc not in (1, 3):
+                # 4-component (Adobe CMYK/YCCK) would silently fall into
+                # the 3-plane YCbCr branch and return wrong colors.
+                raise ValueError(
+                    f"unsupported component count {nc} (grayscale or "
+                    "YCbCr only)"
+                )
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]

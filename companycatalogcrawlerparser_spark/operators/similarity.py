@@ -400,6 +400,26 @@ def cosine_topk_ivf(
     )
 
 
+# The fused Arrow IVF kernel broadcasts the query set (ids, vectors,
+# probe-cell sets) into every corpus task; above this many queries the
+# per-batch score matrix (n_queries × arrow-batch-rows float64) stops
+# being comfortably task-sized and the cell-cogroup variant takes over.
+_ARROW_IVF_MAX_QUERIES = 2048
+
+
+def _ivf_out_schema(queries: DataFrame, corpus: DataFrame, id_col: str):
+    """applyInPandas/mapInPandas output schema with the id field types
+    DERIVED from the inputs (r5 advice: a hardcoded ``long`` broke or
+    miscast string vec_ids that the expr kernel handles fine)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    return StructType([
+        StructField("query_id", queries.schema[id_col].dataType),
+        StructField("neighbor_id", corpus.schema[id_col].dataType),
+        StructField("score", DoubleType()),
+    ])
+
+
 def _ivf_topk_arrow(
     queries: DataFrame,
     corpus: DataFrame,
@@ -409,22 +429,142 @@ def _ivf_topk_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Arrow IVF scoring path: corpus cells assigned by the numpy-matmul
-    kernel, then candidates scored PER CELL with one matmul and cut to a
-    LOCAL top-k before the global window — any global top-k member is by
-    definition in its own cell's top-k (same (score desc, neighbor asc)
-    tie-break locally and globally), so the result is identical to the
-    expression path's global re-rank while the interpreted per-pair HOF
-    dot (the r5 500k-vector bench's dominant IVF cost, ~10 s of 23) is
-    replaced by <1 s of BLAS. The cell cogroup shuffles the corpus once
-    (the expr path streams it through a broadcast join instead); cell
-    balance is IVF's standing assumption — a pathologically hot cell
-    concentrates one task either way (``kmeans_refine`` is the balancing
-    knob). Scores are float64 matmul rounded 1e-6, like everything in
-    this module; matmul summation order can differ from the sequential
-    fold in the last ulp, so an exact .5e-6 rounding boundary could in
-    principle flip — the ann_lsh driver row hash-compares this whole
-    path against the Python twin, which would surface it."""
+    """FUSED Arrow IVF scoring path (r6): ONE ``mapInPandas`` pass over
+    the corpus that assigns each batch's cells AND scores the batch
+    against the broadcast query set, emitting a per-batch local top-k —
+    any global top-k member is by definition in its batch's top-k under
+    the same (score desc, neighbor asc) tie-break, so the tiny global
+    window re-rank is exact. The r5 two-pass shape (assignment
+    ``pandas_udf`` + cell-cogroup ``applyInPandas``) sent the corpus
+    across the Arrow boundary twice and shuffled it once — a measured
+    ~16 s fixed floor at 500k vectors that dominated the job (8→32
+    efficiency 0.26-0.34 vs the 0.52 VM ceiling). Fused, the corpus is
+    read once, crosses Arrow once, and never shuffles; only
+    partitions×n_queries×k candidate rows reach the window.
+
+    Probe semantics are pinned by construction: the per-query probe
+    cells are computed by the SAME ``_cell_scores`` expression the expr
+    kernel uses (one tiny distributed job over the query set, collected
+    — queries are bounded by ``_ARROW_IVF_MAX_QUERIES``, past which the
+    cell-cogroup variant takes over). Scores are float64 matmul rounded
+    1e-6 exactly as before; matmul summation order can differ from the
+    sequential fold in the last ulp, so an exact .5e-6 rounding boundary
+    could in principle flip — the ann_lsh driver row hash-compares this
+    whole path against the Python twin, which would surface it."""
+    probes_expr = F.slice(
+        F.sort_array(_cell_scores(F.col("q_vec"), cents), asc=False),
+        1,
+        nprobe,
+    )
+    qrows = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        .withColumn("probes", F.transform(probes_expr, lambda p: p["i"]))
+        .limit(_ARROW_IVF_MAX_QUERIES + 1)
+        .collect()
+    )
+    if len(qrows) > _ARROW_IVF_MAX_QUERIES:
+        return _ivf_topk_arrow_cogroup(
+            queries, corpus, cents, k, nprobe, id_col, vec_col
+        )
+
+    out_schema = _ivf_out_schema(queries, corpus, id_col)
+    if not qrows:
+        return (
+            corpus.sparkSession.createDataFrame([], out_schema)
+            .withColumn("rank", F.lit(1))
+            .limit(0)
+        )
+
+    qids_l = [r["query_id"] for r in qrows]
+    Q_l = [[float(x) for x in r["q_vec"]] for r in qrows]
+    n_cells = len(cents)
+    probes_l = [[int(c) for c in r["probes"]] for r in qrows]
+    cents_local = [list(map(float, c)) for c in cents]
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((qids_l, Q_l, probes_l, cents_local))
+
+    def fused(batches):
+        import numpy as np
+        import pandas as pd
+
+        qids_b, Q_b, probes_b, cents_b = bc.value
+        qids = np.asarray(qids_b)
+        Q = np.asarray(Q_b, dtype=np.float64)          # (nq, dim)
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        C = np.asarray(cents_b, dtype=np.float64)      # (cells, dim)
+        cn = np.sqrt((C * C).sum(axis=1))
+        P = np.zeros((len(qids_b), len(cents_b)), dtype=bool)
+        for qi, cells in enumerate(probes_b):
+            P[qi, cells] = True
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            nid = pdf["neighbor_id"].to_numpy()
+            M = np.stack(
+                [np.asarray(v, np.float64) for v in pdf["c_vec"]]
+            )                                           # (B, dim)
+            vn = np.sqrt((M * M).sum(axis=1))
+            # cell assignment — same np.round + ties-to-higher-index as
+            # assign_cells(kernel="arrow")
+            A = np.round(M @ C.T / (vn[:, None] * cn[None, :]), 6)
+            rev = A[:, ::-1]
+            cell = A.shape[1] - 1 - rev.argmax(axis=1)  # (B,)
+            # candidate + self-exclusion mask, then batch-local top-k
+            S = np.round(Q @ M.T / (qn[:, None] * vn[None, :]), 6)
+            valid = P[:, cell] & (nid[None, :] != qids[:, None])
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids_b)):
+                idx = np.flatnonzero(valid[qi])
+                if idx.size == 0:
+                    continue
+                s = S[qi, idx]
+                cand = nid[idx]
+                # (score desc, neighbor asc): lexsort's last key is
+                # primary
+                order = np.lexsort((cand, -s))[:k]
+                out_q.extend([qids_b[qi]] * len(order))
+                out_n.extend(cand[order])
+                out_s.extend(s[order])
+            if out_q:
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n,
+                     "score": out_s}
+                )
+
+    local = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).mapInPandas(fused, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def _ivf_topk_arrow_cogroup(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cents: list,
+    k: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cell-cogroup Arrow IVF variant — the r5 shape, kept as the
+    fallback when the query set exceeds ``_ARROW_IVF_MAX_QUERIES`` (too
+    big to broadcast into every corpus task): corpus cells assigned by
+    the numpy-matmul kernel, then candidates scored PER CELL with one
+    matmul and cut to a LOCAL top-k before the global window — any
+    global top-k member is by definition in its own cell's top-k (same
+    (score desc, neighbor asc) tie-break locally and globally). Costs
+    two Arrow round-trips of the corpus plus one corpus shuffle; prefer
+    the fused path whenever queries fit the broadcast gate."""
     import pandas as pd  # noqa: F401
 
     c = assign_cells(
@@ -480,7 +620,7 @@ def _ivf_topk_arrow(
     local = (
         c.groupBy("cell")
         .cogroup(q.groupBy("cell"))
-        .applyInPandas(score, "query_id long, neighbor_id long, score double")
+        .applyInPandas(score, _ivf_out_schema(queries, corpus, id_col))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")

@@ -544,6 +544,72 @@ class TestSimilarity:
         assert SIM.planes_for_corpus(10**6) == 13
         assert SIM.planes_for_corpus(10**10) > 20
 
+    def test_ivf_arrow_string_ids(self, spark):
+        """r5 advice: the arrow output schema was hardcoded to long ids.
+        Both arrow variants must now handle string vec_ids exactly like
+        the expr kernel (schema derived from the inputs)."""
+        rng = np.random.default_rng(5)
+        rows = [
+            (f"doc-{i:03d}", [float(x) for x in rng.normal(size=8)])
+            for i in range(60)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id string, embedding array<float>"
+        )
+        q = emb.filter(F.col("vec_id") < "doc-004")
+
+        def norm(df):
+            return sorted(
+                (r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+                for r in df.collect()
+            )
+
+        expr = norm(SIM.cosine_topk_ivf(q, emb, k=3, n_cells=8, nprobe=3))
+        arrow = norm(
+            SIM.cosine_topk_ivf(
+                q, emb, k=3, n_cells=8, nprobe=3, kernel="arrow"
+            )
+        )
+        assert expr == arrow and len(expr) == 4 * 3
+
+    def test_ivf_arrow_cogroup_fallback_matches_fused(self, spark, monkeypatch):
+        """Query sets past the broadcast gate fall back to the r5
+        cell-cogroup variant; both arrow paths and the expr kernel agree
+        row-for-row."""
+        emb = self._emb(spark, n=100)
+        q = emb.filter(F.col("vec_id") < 5)
+
+        def norm(df):
+            return sorted(
+                (r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+                for r in df.collect()
+            )
+
+        expr = norm(SIM.cosine_topk_ivf(q, emb, k=4, n_cells=12, nprobe=4))
+        fused = norm(
+            SIM.cosine_topk_ivf(
+                q, emb, k=4, n_cells=12, nprobe=4, kernel="arrow"
+            )
+        )
+        monkeypatch.setattr(SIM, "_ARROW_IVF_MAX_QUERIES", 2)
+        cogrp = norm(
+            SIM.cosine_topk_ivf(
+                q, emb, k=4, n_cells=12, nprobe=4, kernel="arrow"
+            )
+        )
+        assert expr == fused == cogrp
+
+    def test_ivf_arrow_empty_query_set(self, spark):
+        emb = self._emb(spark, n=30)
+        out = SIM.cosine_topk_ivf(
+            emb.filter(F.col("vec_id") < 0), emb, k=3, n_cells=4,
+            nprobe=2, kernel="arrow",
+        )
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "query_id", "neighbor_id", "score", "rank",
+        ]
+
 
 class TestTextQuality:
     def test_langid(self, spark):
@@ -765,6 +831,22 @@ class TestMultimodal:
         bad[i + 1] = 0xC2
         with _pytest.raises(ValueError):
             decode_jpeg(bytes(bad))
+        # 4-component SOF (Adobe CMYK/YCCK shape) → classified reject
+        # instead of silently decoding the first 3 planes as YCbCr
+        # (r5 advice). Rebuild the SOF segment with a duplicated 4th
+        # component and a matching length field.
+        seg_len = (ok[i + 2] << 8) | ok[i + 3]
+        body = bytes(ok[i + 4:i + 2 + seg_len])
+        comp4 = body[:5] + bytes([4]) + body[6:] + bytes([4, 0x11, 1])
+        new_len = len(comp4) + 2
+        cmyk = (
+            bytes(ok[:i + 2])
+            + bytes([new_len >> 8, new_len & 0xFF])
+            + comp4
+            + bytes(ok[i + 2 + seg_len:])
+        )
+        with _pytest.raises(ValueError, match="component count"):
+            decode_jpeg(cmyk)
 
     def test_real_jpeg_image_features_and_resize_e2e(self, spark):
         """fake=False over REAL JPEG payloads: Spark features equal the
@@ -1041,6 +1123,78 @@ class TestMultimodal:
 
         with pytest.raises(ValueError):
             decode_avi(b"not an avi")
+
+    def test_avi_audio_stream_before_video(self):
+        """r5 advice: an audio strl ahead of the video strl must not have
+        its WAVEFORMATEX read as BITMAPINFOHEADER, and '01db' video
+        chunks of stream 1 must decode while stream 0's audio chunks are
+        ignored. Built by splicing an auds strl + '00wb' chunks into an
+        encoder-produced file, renumbering the video stream to 1."""
+        import struct
+
+        import numpy as np
+
+        from companycatalogcrawlerparser_spark.operators.avi import (
+            _chunk, _list, decode_avi, encode_avi,
+        )
+
+        rng = np.random.default_rng(29)
+        frames = [
+            rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+            for _ in range(3)
+        ]
+        base = encode_avi(frames, fps=8)
+
+        # audio strl: strh(auds) + strf(WAVEFORMATEX — whose wFormatTag/
+        # nChannels would misparse as a huge biSize if latched as a DIB
+        # header)
+        a_strh = struct.pack(
+            "<4s4sIHHIIIIIIIIhhhh",
+            b"auds", b"\x00\x00\x00\x00",
+            0, 0, 0, 0, 1, 8000, 0, 8000, 0, 0xFFFFFFFF, 0, 0, 0, 0, 0,
+        )
+        a_strf = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        audio_strl = _list(
+            b"strl", _chunk(b"strh", a_strh) + _chunk(b"strf", a_strf)
+        )
+
+        data = bytearray(base)
+        # locate the video strl LIST (first hdrl child after avih)
+        hdrl_at = bytes(data).find(b"hdrl")
+        avih_at = bytes(data).find(b"avih", hdrl_at)
+        avih_sz = struct.unpack("<I", data[avih_at + 4:avih_at + 8])[0]
+        strl_list_at = avih_at + 8 + avih_sz + (avih_sz & 1)
+        assert data[strl_list_at:strl_list_at + 4] == b"LIST"
+
+        # video frames become stream 1: rename 00db → 01db
+        out = bytes(data).replace(b"00db", b"01db")
+        out = (
+            out[:strl_list_at] + audio_strl + out[strl_list_at:]
+        )
+        # also splice an audio data chunk ('00wb') ahead of the frames in
+        # movi so the frame matcher sees a non-video stream chunk
+        movi_at = out.find(b"movi")
+        wb = _chunk(b"00wb", b"\x80" * 64)
+        out = out[:movi_at + 4] + wb + out[movi_at + 4:]
+        # fix the RIFF / LIST sizes we grew
+        out = bytearray(out)
+        riff_sz = len(out) - 8
+        out[4:8] = struct.pack("<I", riff_sz)
+        hdrl_list_at = out.find(b"LIST", 12)
+        old = struct.unpack("<I", out[hdrl_list_at + 4:hdrl_list_at + 8])[0]
+        out[hdrl_list_at + 4:hdrl_list_at + 8] = struct.pack(
+            "<I", old + len(audio_strl)
+        )
+        movi_list_at = out.find(b"movi") - 8
+        old = struct.unpack("<I", out[movi_list_at + 4:movi_list_at + 8])[0]
+        out[movi_list_at + 4:movi_list_at + 8] = struct.pack(
+            "<I", old + len(wb)
+        )
+
+        fps, back = decode_avi(bytes(out))
+        assert fps == 8.0 and len(back) == 3
+        for a, b in zip(frames, back):
+            assert np.array_equal(a, b)
 
     def test_frame_sample_dedup_integration(self, spark):
         """VERDICT r01 #10 — the frame_sample plumbing composes with the
