@@ -129,8 +129,26 @@ def run_crawl_bench(
     }
 
 
-def run_query_bench(spark, sf_dir: str) -> dict:
+# kinds of the labeled-union ("folded") driver rows — timed separately
+# so the next round can read added-surface vs regression straight from
+# the JSON (r5 verdict "what's wrong" #3) instead of re-deriving why a
+# folded row moved. Catalyst prunes the other union branches under a
+# kind= filter (constant-folded to empty relations), so each filtered
+# write measures ONLY that branch; "build" is the eager part of the
+# builder itself (e.g. events_windows runs the real 3-micro-batch
+# streaming auditor while CONSTRUCTING the frame — that cost belongs to
+# the audit kind but is paid before any action).
+FOLDED_KINDS = {
+    "ann_lsh": ["lsh", "ivf", "ivf_arrow"],
+    "events_windows": ["window", "audit"],
+    "warc_ingest": ["whole", "ranged", "indexed"],
+}
+
+
+def run_query_bench(spark, sf_dir: str, per_kind: bool = False) -> dict:
     import __spark_entry__ as entrymod
+
+    from pyspark.sql import functions as F
 
     heavy = [
         "j4_big_join_agg",
@@ -146,11 +164,24 @@ def run_query_bench(spark, sf_dir: str) -> dict:
     ]
     qs = entrymod.queries()
     out = {}
+    kinds_out = {}
     for name in heavy:
         t0 = time.monotonic()
         df = qs[name](spark, sf_dir)
+        t_build = time.monotonic() - t0
         df.write.format("noop").mode("overwrite").save()
         out[name] = round(time.monotonic() - t0, 3)
+        if per_kind and name in FOLDED_KINDS:
+            kd = {"build": round(t_build, 3)}
+            for kv in FOLDED_KINDS[name]:
+                t1 = time.monotonic()
+                df.filter(F.col("kind") == kv).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                kd[kv] = round(time.monotonic() - t1, 3)
+            kinds_out[name] = kd
+    if per_kind:
+        out["__kinds"] = kinds_out
     return out
 
 
@@ -210,10 +241,17 @@ def main_default(args):
     # best-of-N (VM wall-time swings are ±45% between identical runs —
     # the MIN is the capability estimate, the spread is the noise bar)
     crawl_runs, query_runs = [], []
+    kinds = {}
     for _rep in range(max(1, args.reps)):
+        last = _rep == max(1, args.reps) - 1
         crawl_out = tempfile.mkdtemp(prefix="bench_crawl_")
         crawl_runs.append(run_crawl_bench(spark, corpus_dir, crawl_out, args.cores))
-        query_runs.append(run_query_bench(spark, args.sf_dir))
+        # per-kind timings once, on the warmed last rep (the extra
+        # filtered writes would otherwise double the folded rows' cost
+        # in every rep)
+        qr = run_query_bench(spark, args.sf_dir, per_kind=last)
+        kinds = qr.pop("__kinds", kinds)
+        query_runs.append(qr)
         shutil.rmtree(crawl_out, ignore_errors=True)
     if own_corpus:
         shutil.rmtree(corpus_dir, ignore_errors=True)
@@ -237,6 +275,7 @@ def main_default(args):
                 "sf": args.sf_dir.rstrip("/").split("sf")[-1],
                 "reps": max(1, args.reps),
                 "all_runs": all_runs,
+                "kinds": kinds,
                 "control": control,
                 "throughput": {
                     "pages_fetched_extracted_per_sec": crawl["pages_per_sec"],

@@ -420,6 +420,42 @@ def _ivf_out_schema(queries: DataFrame, corpus: DataFrame, id_col: str):
     ])
 
 
+def _np_seqdot(A, B):
+    """(n,dim)·(m,dim) → (n,m) cosines' numerator with the accumulation
+    over dim in ASCENDING index order — one IEEE double add per step,
+    the exact add sequence of the JVM ``F.aggregate`` fold and the
+    pure-Python twin. BLAS matmul may block/reorder the K loop and drift
+    in the last ulp; this is vectorized over the (n,m) plane instead, so
+    every pairwise sum is bit-identical to the sequential fold at
+    roughly memory-bandwidth cost (dim is small for embeddings)."""
+    import numpy as np
+
+    acc = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+    for d in range(A.shape[1]):
+        acc += A[:, d, None] * B[None, :, d]
+    return acc
+
+
+def _np_seqnorm(A):
+    """Row L2 norms with the same sequential accumulation order as
+    ``_norm`` / the Python twin (see :func:`_np_seqdot`)."""
+    import numpy as np
+
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for d in range(A.shape[1]):
+        acc += A[:, d] * A[:, d]
+    return np.sqrt(acc)
+
+
+def _np_round6(x):
+    """Vectorized HALF-UP 1e-6 rounding — the twin's ``_round6_half_up``
+    (sign·floor(|x|·1e6+0.5)/1e6), elementwise-identical IEEE ops.
+    (np.round is banker's rounding and differs AT .5e-6 boundaries.)"""
+    import numpy as np
+
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
 def _ivf_topk_arrow(
     queries: DataFrame,
     corpus: DataFrame,
@@ -430,44 +466,49 @@ def _ivf_topk_arrow(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """FUSED Arrow IVF scoring path (r6): ONE ``mapInPandas`` pass over
-    the corpus that assigns each batch's cells AND scores the batch
-    against the broadcast query set, emitting a per-batch local top-k —
-    any global top-k member is by definition in its batch's top-k under
-    the same (score desc, neighbor asc) tie-break, so the tiny global
-    window re-rank is exact. The r5 two-pass shape (assignment
-    ``pandas_udf`` + cell-cogroup ``applyInPandas``) sent the corpus
-    across the Arrow boundary twice and shuffled it once — a measured
-    ~16 s fixed floor at 500k vectors that dominated the job (8→32
-    efficiency 0.26-0.34 vs the 0.52 VM ceiling). Fused, the corpus is
-    read once, crosses Arrow once, and never shuffles; only
+    the corpus that assigns each batch's cells AND scores the batch's
+    probed cells against the broadcast query set, emitting a per-batch
+    local top-k — any global top-k member is by definition in its
+    batch's top-k under the same (score desc, neighbor asc) tie-break,
+    so the tiny global window re-rank is exact. The r5 two-pass shape
+    (assignment ``pandas_udf`` + cell-cogroup ``applyInPandas``) sent
+    the corpus across the Arrow boundary twice and shuffled it once — a
+    measured ~16 s fixed floor at 500k vectors that dominated the job
+    (8→32 efficiency 0.26-0.34 vs the 0.52 VM ceiling). Fused, the
+    corpus is read once, crosses Arrow once, and never shuffles; only
     partitions×n_queries×k candidate rows reach the window.
 
-    Probe semantics are pinned by construction: the per-query probe
-    cells are computed by the SAME ``_cell_scores`` expression the expr
-    kernel uses (one tiny distributed job over the query set, collected
-    — queries are bounded by ``_ARROW_IVF_MAX_QUERIES``, past which the
-    cell-cogroup variant takes over). Scores are float64 matmul rounded
-    1e-6 exactly as before; matmul summation order can differ from the
-    sequential fold in the last ulp, so an exact .5e-6 rounding boundary
-    could in principle flip — the ann_lsh driver row hash-compares this
-    whole path against the Python twin, which would surface it."""
-    probes_expr = F.slice(
-        F.sort_array(_cell_scores(F.col("q_vec"), cents), asc=False),
-        1,
-        nprobe,
-    )
-    qrows = (
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-        )
-        .withColumn("probes", F.transform(probes_expr, lambda p: p["i"]))
-        .limit(_ARROW_IVF_MAX_QUERIES + 1)
-        .collect()
-    )
-    if len(qrows) > _ARROW_IVF_MAX_QUERIES:
+    The query side is driver-resident by construction (gated by
+    ``_ARROW_IVF_MAX_QUERIES``; past it the cell-cogroup variant takes
+    over): one column-pruned count() gates, one collect() fetches id +
+    vector, and the probe cells are computed ON THE DRIVER with
+    :func:`_np_seqdot` / :func:`_np_round6` — bit-identical to the expr
+    kernel's ``_cell_scores`` (sequential-fold adds, HALF-UP rounding,
+    ties to the higher cell). The r6 first cut computed probes with the
+    expr itself: an 8192-literal expression tree at 256 cells whose
+    per-call analysis+codegen cost 3-15 s of driver time — more than
+    the whole corpus pass. All in-kernel scoring uses the same
+    sequential-order accumulation, so the fused path is bit-equal to
+    the expression path BY CONSTRUCTION (no matmul last-ulp caveat);
+    the ann_lsh driver row additionally hash-compares it against the
+    Python twin."""
+    import numpy as np
+
+    # Broadcast-size gate: a plain count() — parallel and column-pruned.
+    # NO limit() anywhere: limit(gate+1).collect()/count() looked cheaper
+    # but CollectLimit scans incrementally (1 partition, then 4×, ...)
+    # and, when fewer than gate+1 rows match, walks the ENTIRE corpus in
+    # near-sequential waves — measured 15-22 s on the persisted 500k XL
+    # corpus vs <1 s for this count.
+    spark = corpus.sparkSession
+    n_q = queries.count()
+    if n_q > _ARROW_IVF_MAX_QUERIES:
         return _ivf_topk_arrow_cogroup(
             queries, corpus, cents, k, nprobe, id_col, vec_col
         )
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).collect() if n_q else []
 
     out_schema = _ivf_out_schema(queries, corpus, id_col)
     if not qrows:
@@ -479,10 +520,20 @@ def _ivf_topk_arrow(
 
     qids_l = [r["query_id"] for r in qrows]
     Q_l = [[float(x) for x in r["q_vec"]] for r in qrows]
-    n_cells = len(cents)
-    probes_l = [[int(c) for c in r["probes"]] for r in qrows]
     cents_local = [list(map(float, c)) for c in cents]
-    spark = corpus.sparkSession
+
+    # driver-side probe cells: top-nprobe by (score desc, cell desc) —
+    # the twin's sorted(cell_scores, reverse=True)[:nprobe]
+    Qd = np.asarray(Q_l, dtype=np.float64)
+    Cd = np.asarray(cents_local, dtype=np.float64)
+    qn_d = _np_seqnorm(Qd)
+    cn_d = np.asarray(_cent_norms(cents_local), dtype=np.float64)
+    Sp = _np_round6(_np_seqdot(Qd, Cd) / (qn_d[:, None] * cn_d[None, :]))
+    cell_idx = np.arange(Cd.shape[0])
+    probes_l = [
+        [int(c) for c in cell_idx[np.lexsort((-cell_idx, -Sp[qi]))][:nprobe]]
+        for qi in range(Qd.shape[0])
+    ]
     bc = spark.sparkContext.broadcast((qids_l, Q_l, probes_l, cents_local))
 
     def fused(batches):
@@ -492,12 +543,16 @@ def _ivf_topk_arrow(
         qids_b, Q_b, probes_b, cents_b = bc.value
         qids = np.asarray(qids_b)
         Q = np.asarray(Q_b, dtype=np.float64)          # (nq, dim)
-        qn = np.sqrt((Q * Q).sum(axis=1))
+        qn = _np_seqnorm(Q)
         C = np.asarray(cents_b, dtype=np.float64)      # (cells, dim)
-        cn = np.sqrt((C * C).sum(axis=1))
-        P = np.zeros((len(qids_b), len(cents_b)), dtype=bool)
+        cn = np.asarray(_cent_norms(cents_b), dtype=np.float64)
+        n_cells_l = len(cents_b)
+        # inverted probe lists: cell → queries probing it
+        cq: list = [[] for _ in range(n_cells_l)]
         for qi, cells in enumerate(probes_b):
-            P[qi, cells] = True
+            for c in cells:
+                cq[c].append(qi)
+        cell_queries = [np.asarray(v, dtype=np.int64) for v in cq]
 
         for pdf in batches:
             if pdf.empty:
@@ -506,33 +561,57 @@ def _ivf_topk_arrow(
             M = np.stack(
                 [np.asarray(v, np.float64) for v in pdf["c_vec"]]
             )                                           # (B, dim)
-            vn = np.sqrt((M * M).sum(axis=1))
-            # cell assignment — same np.round + ties-to-higher-index as
-            # assign_cells(kernel="arrow")
-            A = np.round(M @ C.T / (vn[:, None] * cn[None, :]), 6)
+            vn = _np_seqnorm(M)
+            # cell assignment — sequential-order dot + HALF-UP rounding
+            # (bit-equal to assign_cells' expression kernel), ties to
+            # the higher index via the reversed argmax
+            A = _np_round6(
+                _np_seqdot(M, C) / (vn[:, None] * cn[None, :])
+            )
             rev = A[:, ::-1]
             cell = A.shape[1] - 1 - rev.argmax(axis=1)  # (B,)
-            # candidate + self-exclusion mask, then batch-local top-k
-            S = np.round(Q @ M.T / (qn[:, None] * vn[None, :]), 6)
-            valid = P[:, cell] & (nid[None, :] != qids[:, None])
-            out_q, out_n, out_s = [], [], []
-            for qi in range(len(qids_b)):
-                idx = np.flatnonzero(valid[qi])
-                if idx.size == 0:
+            # Score ONLY (probing query, cell member) pairs: the full
+            # nq×B matrix is ~n_cells/nprobe× more work than the valid
+            # pairs (measured 0.4 s/10k-batch of dead flops+round at
+            # 1024 queries × 256 cells) — group the batch by cell and
+            # score each cell block against just its probing queries.
+            order_rows = np.argsort(cell, kind="stable")
+            cs = cell[order_rows]
+            bounds = np.searchsorted(cs, np.arange(n_cells_l + 1))
+            qi_parts, cd_parts, sc_parts = [], [], []
+            for c in np.unique(cs):
+                qs = cell_queries[c]
+                ridx = order_rows[bounds[c]:bounds[c + 1]]
+                if qs.size == 0 or ridx.size == 0:
                     continue
-                s = S[qi, idx]
-                cand = nid[idx]
-                # (score desc, neighbor asc): lexsort's last key is
-                # primary
-                order = np.lexsort((cand, -s))[:k]
-                out_q.extend([qids_b[qi]] * len(order))
-                out_n.extend(cand[order])
-                out_s.extend(s[order])
-            if out_q:
-                yield pd.DataFrame(
-                    {"query_id": out_q, "neighbor_id": out_n,
-                     "score": out_s}
+                Sc = _np_round6(
+                    _np_seqdot(Q[qs], M[ridx])
+                    / (qn[qs, None] * vn[ridx][None, :])
                 )
+                qi_parts.append(np.repeat(qs, ridx.size))
+                cd_parts.append(np.tile(nid[ridx], qs.size))
+                sc_parts.append(Sc.ravel())
+            if not qi_parts:
+                continue
+            qi_a = np.concatenate(qi_parts)
+            cd_a = np.concatenate(cd_parts)
+            sc_a = np.concatenate(sc_parts)
+            keep = cd_a != qids[qi_a]                   # self-exclusion
+            qi_a, cd_a, sc_a = qi_a[keep], cd_a[keep], sc_a[keep]
+            if qi_a.size == 0:
+                continue
+            # batch-local top-k per query, fully vectorized: sort by
+            # (query asc, score desc, neighbor asc) — lexsort's last key
+            # is primary — then keep the first k of each query run
+            order = np.lexsort((cd_a, -sc_a, qi_a))
+            qi_s, cd_s, sc_s = qi_a[order], cd_a[order], sc_a[order]
+            group_start = np.searchsorted(qi_s, qi_s)
+            topk = (np.arange(qi_s.size) - group_start) < k
+            yield pd.DataFrame(
+                {"query_id": np.asarray(qids_b, dtype=object)[qi_s[topk]],
+                 "neighbor_id": cd_s[topk],
+                 "score": sc_s[topk]}
+            )
 
     local = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
@@ -658,6 +737,7 @@ def cosine_pairs(
     df: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding",
     num_planes: int | None = 6, dim: int | None = None,
     max_bucket: int | None = 1024,
+    observation=None,
 ) -> DataFrame:
     """Embedding near-dup pairs: LSH bucket → exact cosine ≥ threshold.
 
@@ -670,15 +750,27 @@ def cosine_pairs(
     ``max_bucket=None`` for the exhaustive (unguarded) behavior, and
     ``num_planes=None`` to auto-scale the plane count to the corpus size
     (:func:`planes_for_corpus`). The skipped volume stays observable via
-    :func:`cosine_oversized_buckets` — nothing is silently dropped."""
+    :func:`cosine_oversized_buckets` — nothing is silently dropped.
+
+    Pass a ``pyspark.sql.Observation`` as ``observation`` to get the
+    capped volume IN the same job (``skipped_rows`` bucket-memberships
+    excluded, ``max_bucket_seen``) — same contract as
+    ``dedup.minhash_lsh_pairs``; the separate audit query stays for
+    callers without the metric wired (r5 verdict: capped volume should
+    ride the producing job, not a second scan)."""
     sig = _signatures(df, id_col, vec_col, num_planes, dim)
     if max_bucket is not None:
         bw = Window.partitionBy("sig")
-        sig = (
-            sig.withColumn("__n", F.count("*").over(bw))
-            .filter(F.col("__n") <= max_bucket)
-            .drop("__n")
-        )
+        sig = sig.withColumn("__n", F.count("*").over(bw))
+        if observation is not None:
+            sig = sig.observe(
+                observation,
+                F.sum(
+                    F.when(F.col("__n") > max_bucket, 1).otherwise(0)
+                ).alias("skipped_rows"),
+                F.max("__n").alias("max_bucket_seen"),
+            )
+        sig = sig.filter(F.col("__n") <= max_bucket).drop("__n")
     # norm once per row (a bucket of D rows would otherwise re-fold each
     # vector's norm D-1 times inside the pair join)
     sig = sig.withColumn("__n2", _norm(F.col(vec_col)))

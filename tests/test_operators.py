@@ -257,6 +257,29 @@ class TestDedup:
         assert got["skipped_rows"] == 1200
         assert got["max_bucket_seen"] == 300
 
+    def test_winnow_skew_cap_observed_matches_audit(self, spark):
+        """r5 verdict #2: winnow_pairs carries the same in-job
+        Observation contract as minhash, and the observed skip volume
+        equals what the standalone winnow_oversized_prints audit
+        reports."""
+        from pyspark.sql import Observation
+
+        clones = [(i, "identical clone text for the hot bucket") for i in range(80)]
+        normals = [(10_000 + i, t) for i, t in self.DOCS[:4]]
+        df = spark.createDataFrame(clones + normals, ["doc_id", "text"])
+        obs = Observation("winnow_skew")
+        pairs = D.winnow_pairs(df, max_bucket=16, observation=obs)
+        pairs.count()
+        got = obs.get
+        audit = (
+            D.winnow_oversized_prints(df, max_bucket=16)
+            .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).alias("s"),
+                 F.coalesce(F.max("n_docs"), F.lit(0)).alias("m"))
+            .first()
+        )
+        assert got["skipped_rows"] == audit["s"] > 0
+        assert got["max_bucket_seen"] == audit["m"]
+
     def test_winnow_prints_exploded_equals_array_form(self, spark):
         """The scale-shape print generator (explode → codegen md5 →
         frame-window rolling min, r5) is value-equal to the per-row array
@@ -543,6 +566,36 @@ class TestSimilarity:
         assert SIM.planes_for_corpus(128 * 64) == 6
         assert SIM.planes_for_corpus(10**6) == 13
         assert SIM.planes_for_corpus(10**10) > 20
+
+    def test_cosine_skew_cap_observed_matches_audit(self, spark):
+        """r5 verdict #2: cosine_pairs carries the same in-job
+        Observation contract as minhash/winnow — observed skip volume
+        equals the standalone cosine_oversized_buckets audit."""
+        from pyspark.sql import Observation
+
+        rng = np.random.default_rng(3)
+        hot = [(i, [1.0] * 8) for i in range(40)]
+        normals = [
+            (1000 + i, [float(x) for x in rng.normal(size=8)])
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(
+            hot + normals, "vec_id long, embedding array<float>"
+        )
+        obs = Observation("cos_skew")
+        pairs = SIM.cosine_pairs(
+            df, threshold=0.9, num_planes=6, max_bucket=16, observation=obs
+        )
+        pairs.count()
+        got = obs.get
+        audit = (
+            SIM.cosine_oversized_buckets(df, num_planes=6, max_bucket=16)
+            .agg(F.coalesce(F.sum("n_rows"), F.lit(0)).alias("s"),
+                 F.coalesce(F.max("n_rows"), F.lit(0)).alias("m"))
+            .first()
+        )
+        assert got["skipped_rows"] == audit["s"] > 0
+        assert got["max_bucket_seen"] == audit["m"]
 
     def test_ivf_arrow_string_ids(self, spark):
         """r5 advice: the arrow output schema was hardcoded to long ids.

@@ -146,9 +146,13 @@ def _task_action(spark, task: str, data_dir: str):
                     "max_bucket_seen": int(m["max_bucket_seen"])}
     elif task == "winnow_jaccard":
         def run():
-            cands = D.winnow_pairs(docs)
+            obs = Observation()
+            cands = D.winnow_pairs(docs, observation=obs)
             verified = D.jaccard_verify(docs, cands, threshold=0.5)
-            return {"rows_out": verified.count()}
+            n = verified.count()
+            m = obs.get
+            return {"rows_out": n, "skipped_rows": int(m["skipped_rows"] or 0),
+                    "max_bucket_seen": int(m["max_bucket_seen"])}
     elif task == "simhash_groups":
         def run():
             return {"rows_out": D.simhash_groups(docs).count()}
@@ -175,8 +179,14 @@ def _task_action(spark, task: str, data_dir: str):
                     "distinct_fp": int(got[1]), "sum_tokens": int(got[2])}
     elif task == "cosine_pairs":
         def run():
-            pairs = SIM.cosine_pairs(vecs, threshold=0.95, num_planes=None)
-            return {"rows_out": pairs.count()}
+            obs = Observation()
+            pairs = SIM.cosine_pairs(
+                vecs, threshold=0.95, num_planes=None, observation=obs
+            )
+            n = pairs.count()
+            m = obs.get
+            return {"rows_out": n, "skipped_rows": int(m["skipped_rows"] or 0),
+                    "max_bucket_seen": int(m["max_bucket_seen"])}
     elif task in ("cosine_topk_ivf", "cosine_topk_ivf_expr"):
         kern = "arrow" if task == "cosine_topk_ivf" else "expr"
         n_cells = int(os.environ.get("IVF_CELLS", "64"))
