@@ -96,7 +96,8 @@ def gen_corpus(spark, n_companies: int, corpus_dir: str, filler_kb: int = 0):
 
 
 def run_crawl_bench(
-    spark, corpus_dir: str, out_dir: str, cores: int, take_limit: int = 100000
+    spark, corpus_dir: str, out_dir: str, cores: int, take_limit: int = 100000,
+    audit_politeness: bool = False,
 ) -> dict:
     from companycatalogcrawlerparser_spark.plans.crawl import CrawlConfig, run_crawl
     from pyspark.sql import functions as F
@@ -118,7 +119,7 @@ def run_crawl_bench(
     ).first()
     n_emails = res["email_pairs"].count()
     elapsed = time.monotonic() - t0
-    return {
+    out = {
         "elapsed_sec": round(elapsed, 2),
         "pages_fetched": int(agg["fetched"]),
         "frontier_dequeued": int(agg["dequeued"]),
@@ -127,6 +128,48 @@ def run_crawl_bench(
         "urls_dequeued_per_sec": round(int(agg["dequeued"]) / elapsed, 1),
         "cores": cores,
     }
+    if audit_politeness:
+        # distributed (untimed) twin of tests/test_crawl_equality.py::
+        # test_politeness_budget, runnable at XL scale: per (round, host)
+        # the dequeue ranks must be dense 0..n-1 and every not_before
+        # stamp exactly rank×delay — checked per FULL host (the salted
+        # fan-out must not fragment a host's politeness sequence), no
+        # driver collect. Also reports the skew head (top host's share
+        # of fetched pages) so the record shows what distribution the
+        # run survived.
+        delay = cfg.delay_ms
+        viol = (
+            trace.groupBy("round", "host")
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("host_rank").alias("d"),
+                F.max("host_rank").alias("mx"),
+                F.sum(
+                    F.when(
+                        F.col("not_before") != F.col("host_rank") * delay, 1
+                    ).otherwise(0)
+                ).alias("w"),
+            )
+            .filter(
+                (F.col("d") != F.col("n"))
+                | (F.col("mx") != F.col("n") - 1)
+                | (F.col("w") > 0)
+            )
+            .count()
+        )
+        top = (
+            trace.filter(F.col("action") == "fetched")
+            .groupBy("host").count()
+            .orderBy(F.col("count").desc())
+            .first()
+        )
+        out["politeness_violating_host_rounds"] = int(viol)
+        out["top_host"] = top["host"]
+        out["top_host_pages"] = int(top["count"])
+        out["top_host_share"] = round(
+            int(top["count"]) / max(int(agg["fetched"]), 1), 4
+        )
+    return out
 
 
 # kinds of the labeled-union ("folded") driver rows — timed separately
@@ -299,7 +342,8 @@ def main_crawl_only(args):
         gen_corpus(spark, args.companies, args.corpus_dir, args.filler_kb)
     out_dir = tempfile.mkdtemp(prefix=f"bench_crawl_{args.cores}_")
     res = run_crawl_bench(
-        spark, args.corpus_dir, out_dir, args.cores, take_limit=args.take_limit
+        spark, args.corpus_dir, out_dir, args.cores,
+        take_limit=args.take_limit, audit_politeness=args.audit_politeness,
     )
     shutil.rmtree(out_dir, ignore_errors=True)
     with open(args.json_out, "w") as f:
@@ -437,6 +481,7 @@ if __name__ == "__main__":
     ap.add_argument("--filler-kb", type=int, default=int(os.environ.get("SPARK_GRAFT_FILLER_KB", "0")))
     ap.add_argument("--take-limit", type=int, default=100000)
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--audit-politeness", action="store_true")
     ap.add_argument(
         "--reps", type=int,
         default=int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")),

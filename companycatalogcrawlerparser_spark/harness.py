@@ -1271,7 +1271,15 @@ def q_events_audit(spark, sf_dir) -> DataFrame:
     each host's last emission (events/violations/last_ts_ms are all
     monotone per host, so ``max`` selects it). Hash-equality with the
     one-shot SQL twin (lag-gap scan over the whole table) is exactly the
-    cross-batch-state contract: incremental == global."""
+    cross-batch-state contract: incremental == global.
+
+    Cost floor (r6, measured): ~5 s/call — stream-query startup +
+    state-store checkpoint init + 3 real micro-batch rounds, ALREADY on
+    the cheap path (availableNow one-shot over 3 pre-split source files,
+    one write job for the split). The floor is the price of running
+    cross-batch state for real rather than simulating it; bench.py's
+    per-kind timing attributes it to the audit kind's 'build' slot so
+    rounds don't re-litigate it as a regression."""
     import uuid
 
     from .streaming.events import host_budget_state

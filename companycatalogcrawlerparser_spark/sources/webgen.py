@@ -26,12 +26,17 @@ table includes null/blank/social/duplicate site_urls for F9 pruning.
 from __future__ import annotations
 
 import hashlib
+import os
 from datetime import datetime, timedelta, timezone
 from typing import Iterator, List, Tuple
 
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 
-HOT_HOST_PCT = 20  # % of companies on one hot host (FIXTURES.md §6 skew)
+# % of companies on one shared hot host (FIXTURES.md §6 skew). Env-
+# overridable so scaling runs can generate a heavier zipf head (the
+# constant is read at import time in every Python worker — set it
+# BEFORE the SparkSession launches so executors inherit it).
+HOT_HOST_PCT = int(os.environ.get("SPARK_GRAFT_HOT_PCT", "20"))
 
 
 def det(*parts) -> int:

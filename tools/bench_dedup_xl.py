@@ -129,7 +129,8 @@ def _task_action(spark, task: str, data_dir: str):
 
     docs = vecs = None
     if task in ("minhash_lsh_pairs", "winnow_jaccard", "simhash_groups",
-                "exact_dedup", "text_metrics", "control_tokenhash"):
+                "exact_dedup", "text_metrics", "control_tokenhash",
+                "dedup_pipeline"):
         docs = spark.read.parquet(f"{data_dir}/documents").persist()
         n_in = docs.count()
     else:
@@ -153,6 +154,38 @@ def _task_action(spark, task: str, data_dir: str):
             m = obs.get
             return {"rows_out": n, "skipped_rows": int(m["skipped_rows"] or 0),
                     "max_bucket_seen": int(m["max_bucket_seen"])}
+    elif task == "dedup_pipeline":
+        # the COMPOSED 100 TB dedup chain (r5 verdict #4): minhash-LSH ∪
+        # winnow candidates → exact-Jaccard verify → survivor anti-join.
+        # Every stage is the same operator the per-task rows bench; the
+        # composition check is that candidate plans are consumed once
+        # (jaccard_verify localCheckpoints the pair frame) and the skip
+        # metrics ride the producing jobs.
+        def run():
+            obs_mh, obs_wn = Observation(), Observation()
+            mh = D.minhash_lsh_pairs(docs, observation=obs_mh)
+            wn = D.winnow_pairs(docs, observation=obs_wn).select(
+                "id_a", "id_b"
+            )
+            cands = mh.unionByName(wn).distinct()
+            # verified feeds two consumers (pair count + the dup-id leg)
+            # — persist so the verify join runs once (same discipline as
+            # jaccard_verify's own localCheckpoint of the candidates)
+            verified = D.jaccard_verify(docs, cands, threshold=0.5).persist()
+            n_pairs = verified.count()
+            # survivors: drop the higher id of every verified pair —
+            # deterministic keep-lowest policy; anti-join is the
+            # 10^10-scale shape (no collect)
+            dups = verified.select(F.col("id_b").alias("doc_id")).distinct()
+            survivors = docs.join(dups, "doc_id", "left_anti")
+            n_surv = survivors.count()
+            verified.unpersist()
+            m1, m2 = obs_mh.get, obs_wn.get
+            return {
+                "rows_out": n_surv, "verified_pairs": n_pairs,
+                "mh_skipped_rows": int(m1["skipped_rows"] or 0),
+                "winnow_skipped_rows": int(m2["skipped_rows"] or 0),
+            }
     elif task == "simhash_groups":
         def run():
             return {"rows_out": D.simhash_groups(docs).count()}
@@ -284,7 +317,7 @@ def run_one(task: str, cores: int, data_dir: str, best_of: int,
 # ---------------------------------------------------------------------------
 
 DEFAULT_TASKS = (
-    "minhash_lsh_pairs", "winnow_jaccard", "simhash_groups",
+    "minhash_lsh_pairs", "winnow_jaccard", "dedup_pipeline", "simhash_groups",
     "cosine_pairs", "cosine_topk_ivf", "cosine_topk_ivf_expr",
     "control_tokenhash",
 )

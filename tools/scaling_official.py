@@ -48,7 +48,8 @@ def gen_corpus(corpus_dir: str, companies: int, filler_kb: int) -> float:
 
 
 def run_crawl(corpus_dir: str, companies: int, take_limit: int,
-              cores: int, master: str | None, tag: str) -> dict:
+              cores: int, master: str | None, tag: str,
+              audit_politeness: bool = False) -> dict:
     json_out = os.path.join(corpus_dir, f"crawl_{tag}.json")
     cmd = [
         sys.executable, os.path.join(REPO, "bench.py"), "--crawl-only",
@@ -56,6 +57,8 @@ def run_crawl(corpus_dir: str, companies: int, take_limit: int,
         "--corpus-dir", corpus_dir, "--json-out", json_out,
         "--take-limit", str(take_limit),
     ]
+    if audit_politeness:
+        cmd += ["--audit-politeness"]
     if master:
         cmd += ["--master", master]
     subprocess.run(cmd, check=True, cwd=REPO)
@@ -102,6 +105,9 @@ def run_control(cores: int) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--companies", type=int, default=400000)
+    ap.add_argument("--hot-pct", type=int, default=None,
+                    help="override webgen HOT_HOST_PCT for corpus gen")
+    ap.add_argument("--audit-politeness", action="store_true")
     ap.add_argument("--take-limit", type=int, default=400000)
     ap.add_argument("--filler-kb", type=int, default=30)
     ap.add_argument("--corpus-dir", default=None)
@@ -111,10 +117,14 @@ def main():
     ap.add_argument("--skip-controls", action="store_true")
     args = ap.parse_args()
 
+    if args.hot_pct is not None:
+        os.environ["SPARK_GRAFT_HOT_PCT"] = str(args.hot_pct)
     corpus_dir = args.corpus_dir or tempfile.mkdtemp(prefix="scaling_corpus_")
     results: dict = {"workload": {
         "companies": args.companies, "take_limit": args.take_limit,
         "filler_kb": args.filler_kb, "corpus_dir": corpus_dir,
+        "hot_host_pct": args.hot_pct if args.hot_pct is not None else int(
+            os.environ.get("SPARK_GRAFT_HOT_PCT", "20")),
     }}
     if not os.path.exists(f"{corpus_dir}/pages"):
         results["gen_sec"] = gen_corpus(corpus_dir, args.companies, args.filler_kb)
@@ -131,7 +141,8 @@ def main():
         ]
     for cores, master, tag in runs:
         res = run_crawl(
-            corpus_dir, args.companies, args.take_limit, cores, master, tag
+            corpus_dir, args.companies, args.take_limit, cores, master, tag,
+            audit_politeness=args.audit_politeness,
         )
         results[tag] = res
         print(json.dumps({tag: res}))
