@@ -1,12 +1,17 @@
-"""Uncompressed-AVI video codec — pure numpy + stdlib, no pyav/ffmpeg.
+"""AVI video codec (uncompressed DIB + motion-JPEG) — pure numpy +
+stdlib, no pyav/ffmpeg.
 
 The video analogue of the BMP/PCM-WAV/baseline-JPEG story: the RIFF/AVI
 container (Microsoft's public AVI spec) with BI_RGB uncompressed 24-bit
 DIB frames is fully decodable with no codec library — container box
-walk + the same bottom-up padded-BGR pixel layout BMP uses. Compressed
-video streams (fourcc != BI_RGB) raise ``ValueError`` and stay honestly
-stubbed at the ``multimodal.frame_sample`` level (pyav absent, re-probed
-round 5).
+walk + the same bottom-up padded-BGR pixel layout BMP uses. Since round
+6 the first COMPRESSED codec is real too: MJPG (motion JPEG per the
+OpenDML AVI spec — every '00dc' chunk an independent baseline JPEG)
+decodes through ``operators.jpeg``'s pure-numpy T.81 kernel, including
+DHT-less frames via the Annex-K default tables OpenDML mandates.
+Inter-frame codecs (H.264/VP9/…) still raise ``ValueError`` and stay
+honestly stubbed at the ``multimodal.frame_sample`` level (pyav absent,
+re-probed round 6).
 
 ``encode_avi`` writes a minimal single-video-stream file (avih + strh +
 strf + movi '00db' chunks; no idx1 — our reader and any spec-compliant
@@ -30,17 +35,33 @@ def _list(list_type: bytes, body: bytes) -> bytes:
     return _chunk(b"LIST", list_type + body)
 
 
-def encode_avi(frames, fps: int = 10) -> bytes:
+MJPG_FOURCC = 0x47504A4D  # "MJPG" little-endian, biCompression value
+
+
+def encode_avi(frames, fps: int = 10, codec: str = "rgb",
+               quality: int = 90) -> bytes:
     """List of RGB uint8 (H, W, 3) arrays (same dims) → AVI bytes with
-    one uncompressed 24-bit DIB video stream."""
+    one video stream. ``codec='rgb'`` writes uncompressed 24-bit DIB
+    '00db' chunks; ``codec='mjpg'`` writes motion-JPEG '00dc' chunks
+    (each frame an independent baseline JPEG from ``operators.jpeg`` —
+    the OpenDML MJPEG layout, decodable with no codec library)."""
     frames = [np.asarray(f, dtype=np.uint8) for f in frames]
     if not frames:
         raise ValueError("no frames")
+    if codec not in ("rgb", "mjpg"):
+        raise ValueError(f"unsupported codec {codec!r}")
     h, w = frames[0].shape[:2]
     if any(f.shape[:2] != (h, w) for f in frames):
         raise ValueError("frames must share dimensions")
-    stride = (w * 3 + 3) & ~3
-    frame_bytes = stride * h
+    if codec == "mjpg":
+        from .jpeg import encode_jpeg
+
+        payloads = [encode_jpeg(f, quality=quality) for f in frames]
+        frame_bytes = max(len(p) for p in payloads)
+    else:
+        payloads = None
+        stride = (w * 3 + 3) & ~3
+        frame_bytes = stride * h
 
     avih = struct.pack(
         "<14I",
@@ -56,7 +77,7 @@ def encode_avi(frames, fps: int = 10) -> bytes:
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIIIhhhh",
-        b"vids", b"DIB ",
+        b"vids", b"MJPG" if codec == "mjpg" else b"DIB ",
         0, 0, 0, 0,
         1, fps,                    # dwScale, dwRate → fps
         0, len(frames),            # dwStart, dwLength
@@ -65,7 +86,8 @@ def encode_avi(frames, fps: int = 10) -> bytes:
     )
     strf = struct.pack(
         "<IiiHHIIiiII",
-        40, w, h, 1, 24, 0,        # BITMAPINFOHEADER, BI_RGB
+        40, w, h, 1, 24,           # BITMAPINFOHEADER
+        MJPG_FOURCC if codec == "mjpg" else 0,  # biCompression
         frame_bytes, 0, 0, 0, 0,
     )
     hdrl = _list(
@@ -74,18 +96,23 @@ def encode_avi(frames, fps: int = 10) -> bytes:
         + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
     )
     movi_chunks = b""
-    for f in frames:
-        rows = np.zeros((h, stride), np.uint8)
-        rows[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)  # flip + BGR
-        movi_chunks += _chunk(b"00db", rows.tobytes())
+    if codec == "mjpg":
+        for p in payloads:
+            movi_chunks += _chunk(b"00dc", p)
+    else:
+        for f in frames:
+            rows = np.zeros((h, stride), np.uint8)
+            rows[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)  # flip + BGR
+            movi_chunks += _chunk(b"00db", rows.tobytes())
     riff_body = b"AVI " + hdrl + _list(b"movi", movi_chunks)
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
 def decode_avi(data: bytes):
     """AVI bytes → (fps float, list of RGB uint8 (H, W, 3) frames).
-    Supports BI_RGB 24-bit uncompressed video streams ('00db'/'00dc'
-    chunks of the first vids stream); compressed fourccs raise."""
+    Supports BI_RGB 24-bit uncompressed and MJPG motion-JPEG video
+    streams ('00db'/'00dc' chunks of the first vids stream); inter-frame
+    codecs raise."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI file")
 
@@ -131,6 +158,17 @@ def decode_avi(data: bytes):
             elif (in_movi and fourcc[2:4] in (b"db", b"dc") and size
                   and vids_idx is not None
                   and fourcc[:2] == b"%02d" % vids_idx):
+                if compression == MJPG_FOURCC:
+                    # motion JPEG: every chunk is an independent baseline
+                    # JPEG (OpenDML); our pure-numpy T.81 decoder handles
+                    # it, including DHT-less frames (Annex-K defaults).
+                    from .jpeg import decode_jpeg
+
+                    frames.append(
+                        decode_jpeg(bytes(data[body_start:body_end]))
+                    )
+                    pos = body_end + (size & 1)
+                    continue
                 if compression not in (0, None):
                     raise ValueError(
                         f"compressed AVI stream (biCompression="

@@ -557,6 +557,20 @@ def decode_jpeg(data: bytes):
     for cs, td, ta in scan_comps:
         order.append((by_id[cs], td, ta))
 
+    # MJPEG ("motion JPEG", the OpenDML AVI spec) allows frames to OMIT
+    # DHT segments entirely; decoders shall then use the T.81 Annex K.3
+    # typical tables (destination 0 = luma, 1 = chroma). Filling only
+    # missing destinations keeps streams that DO carry tables exact.
+    for _ci, td, ta in order:
+        if td not in dc_lookup:
+            b_, v_ = ((DC_LUMA_BITS, DC_LUMA_VALS) if td == 0
+                      else (DC_CHROMA_BITS, DC_CHROMA_VALS))
+            dc_lookup[td] = _huff_lookup(b_, v_)
+        if ta not in ac_lookup:
+            b_, v_ = ((AC_LUMA_BITS, AC_LUMA_VALS) if ta == 0
+                      else (AC_CHROMA_BITS, AC_CHROMA_VALS))
+            ac_lookup[ta] = _huff_lookup(b_, v_)
+
     br = _BitReader(data, scan_pos)
     pred = [0] * len(comps)
     mcu_count = 0

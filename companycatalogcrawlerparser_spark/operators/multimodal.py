@@ -409,9 +409,11 @@ def image_features(assets: DataFrame, fake: bool = True, dim: int = 8) -> DataFr
     return imgs.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
-def make_avi_assets(spark, n: int, frames: int = 8, fps: int = 4) -> DataFrame:
-    """Asset table whose payloads are REAL uncompressed AVIs (per-frame
-    horizontal motion over a deterministic gradient, ``operators/avi``)."""
+def make_avi_assets(spark, n: int, frames: int = 8, fps: int = 4,
+                    codec: str = "rgb") -> DataFrame:
+    """Asset table whose payloads are REAL AVIs (per-frame horizontal
+    motion over a deterministic gradient, ``operators/avi``) — either
+    uncompressed DIB (``codec='rgb'``) or motion-JPEG (``'mjpg'``)."""
     import numpy as np
 
     from .avi import encode_avi
@@ -428,8 +430,8 @@ def make_avi_assets(spark, n: int, frames: int = 8, fps: int = 4) -> DataFrame:
                 np.full((h, w), (i * 29 + t) % 256, np.uint8),
             ], axis=2))
         rows.append((
-            i, "video", encode_avi(fr, fps), "video/x-msvideo", w, h,
-            int(frames * 1000 / fps),
+            i, "video", encode_avi(fr, fps, codec=codec),
+            "video/x-msvideo", w, h, int(frames * 1000 / fps),
         ))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
@@ -447,10 +449,10 @@ def _sample_avi_frames(data: bytes, every_ms: int):
 def frame_sample(assets: DataFrame, every_ms: int = 5000, fake: bool = True) -> DataFrame:
     """Video frame sampling: one row per sampled frame.
 
-    ``fake=False`` decodes UNCOMPRESSED AVI for real (``operators/avi``,
-    RIFF walk + DIB frames — no codec library) and hashes the sampled
-    RGB pixels; compressed video streams raise (pyav absent, re-probed
-    r5). The ``fake=True`` stand-in keeps the metadata-driven
+    ``fake=False`` decodes AVI for real (``operators/avi``, RIFF walk +
+    DIB or motion-JPEG frames — no codec library) and hashes the
+    sampled RGB pixels; inter-frame codecs raise (pyav absent, re-probed
+    r6). The ``fake=True`` stand-in keeps the metadata-driven
     deterministic hash for payloads that are not real videos."""
     import pandas as pd
 
@@ -474,7 +476,7 @@ def frame_sample(assets: DataFrame, every_ms: int = 5000, fake: bool = True) -> 
                     sampled = _sample_avi_frames(bytes(data), every_ms)
                 except ValueError as e:
                     raise NotImplementedError(
-                        f"video beyond the uncompressed-AVI kernel needs "
+                        f"video beyond the DIB/MJPG AVI kernels needs "
                         f"pyav — not available in this container ({e}); "
                         f"use fake=True for the stand-in"
                     )

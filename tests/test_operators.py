@@ -1126,6 +1126,79 @@ class TestMultimodal:
         with pytest.raises(ValueError):
             decode_avi(bytes(bad))
 
+    def test_avi_mjpeg_roundtrip_and_dhtless_frames(self):
+        """r6: the first COMPRESSED video codec is real — MJPG AVIs
+        (every '00dc' chunk an independent baseline JPEG, OpenDML
+        layout) decode through the pure-numpy T.81 kernel. JPEG is
+        lossy, so the contract is near-identity on smooth frames; and a
+        frame whose DHT segments are stripped (OpenDML allows headerless
+        MJPEG) must decode bit-identically via the Annex-K defaults."""
+        import struct
+
+        import numpy as np
+
+        from companycatalogcrawlerparser_spark.operators.avi import (
+            decode_avi, encode_avi,
+        )
+        from companycatalogcrawlerparser_spark.operators.jpeg import (
+            decode_jpeg, encode_jpeg,
+        )
+
+        h, w = 40, 56
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = [
+            np.stack([
+                (xx * 3 + t * 10) % 256, (yy * 4) % 256,
+                ((xx + yy) * 2) % 256,
+            ], axis=2).astype(np.uint8)
+            for t in range(3)
+        ]
+        fps, back = decode_avi(encode_avi(frames, fps=12, codec="mjpg"))
+        assert fps == 12.0 and len(back) == 3
+        for a, b in zip(frames, back):
+            assert b.shape == a.shape
+            assert np.abs(a.astype(int) - b.astype(int)).mean() < 6.0
+
+        # strip every DHT (0xFFC4) segment; decode must not change —
+        # the Annex-K defaults ARE the tables our encoder emits
+        j = encode_jpeg(frames[0], quality=90)
+        out, pos, stripped = j[:2], 2, 0
+        while pos + 4 <= len(j):
+            assert j[pos] == 0xFF
+            m = j[pos + 1]
+            if m == 0xDA:
+                out += j[pos:]
+                break
+            ln = struct.unpack(">H", j[pos + 2:pos + 4])[0]
+            if m == 0xC4:
+                stripped += 1
+            else:
+                out += j[pos:pos + 2 + ln]
+            pos += 2 + ln
+        assert stripped == 4
+        assert np.array_equal(decode_jpeg(j), decode_jpeg(out))
+
+    def test_mjpeg_avi_frame_sample_e2e(self, spark):
+        """frame_sample(fake=False) samples motion-JPEG AVIs in Spark:
+        hashes equal the driver-side kernel run on the same payloads."""
+        import hashlib as _hl
+
+        assets = MM.make_avi_assets(spark, 3, frames=4, fps=4,
+                                    codec="mjpg")
+        got = sorted(
+            (r["asset_id"], r["frame_no"], r["frame_hash"])
+            for r in MM.frame_sample(
+                assets, every_ms=500, fake=False
+            ).collect()
+        )
+        want = sorted(
+            (r["asset_id"], fno,
+             _hl.blake2b(img.tobytes(), digest_size=8).hexdigest())
+            for r in assets.collect()
+            for fno, img in MM._sample_avi_frames(bytes(r["bytes"]), 500)
+        )
+        assert got == want and len(got) >= 6
+
     def test_real_avi_frame_sample_and_features_e2e(self, spark):
         """fake=False frame sampling decodes REAL AVIs in Spark: sampled
         frame hashes equal the driver-side kernel; a duplicated video
