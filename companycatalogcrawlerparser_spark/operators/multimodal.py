@@ -3,18 +3,21 @@ with typed metadata.
 
 Image kernels — ALL REAL, no codec library: uncompressed BMP (24/32
 bpp, round 4), PNG (round 5: stdlib ``zlib`` inflate + full five-filter
-scanline unfiltering, 8-bit gray/gray-alpha/RGB/RGBA), and baseline
+scanline unfiltering, 8-bit gray/gray-alpha/RGB/RGBA), baseline
 JPEG (round 5: pure-numpy ITU-T T.81 sequential codec in
 ``operators/jpeg.py`` — Huffman entropy coding, any sampling layout
-incl. 4:2:0, restart markers; progressive/arithmetic raise) decode,
-resize, and feature-extract via ``decode_bmp`` / ``decode_png`` /
-``jpeg.decode_jpeg`` / ``encode_*`` / ``resize_nearest``, mirroring the
-reference's mail-image ``Resize`` (``DataStructure/Library.fs:70-126``).
-Video: UNCOMPRESSED AVI decodes for real too (round 5,
-``operators/avi.py`` — RIFF walk + DIB frames, lossless; frame_sample
-fake=False + video_frame_features); only COMPRESSED video codecs remain
-honestly stubbed (pyav absent, re-probed round 5) behind the
-``fake=True`` stand-in. All Spark-side plumbing is real and tested:
+incl. 4:2:0, restart markers; progressive/arithmetic raise), and GIF
+(round 6: ``operators/gif.py`` — LZW, interlace, transparency,
+animation) decode, resize, and feature-extract via ``decode_bmp`` /
+``decode_png`` / ``jpeg.decode_jpeg`` / ``gif.decode_gif`` /
+``encode_*`` / ``resize_nearest``, mirroring the reference's mail-image
+``Resize`` (``DataStructure/Library.fs:70-126``).
+Video: UNCOMPRESSED AVI decodes for real (round 5, ``operators/avi.py``
+— RIFF walk + DIB frames, lossless), MJPEG-in-AVI (round 6) and
+animated GIF (round 6) are the real compressed paths; only inter-frame
+codecs (H.264/VP9) remain honestly stubbed (pyav absent, re-probed
+round 6) behind the ``fake=True`` stand-in. All Spark-side plumbing is
+real and tested:
 asset schema, Arrow batch shape through ``mapInPandas``, partitioning
 by asset kind, and output schemas.
 """
@@ -254,8 +257,9 @@ def _to_rgb(img):
 
 def decode_image(data: bytes):
     """RGB uint8 (H, W, 3) from any REAL kernel: BMP (numpy), PNG
-    (zlib+numpy), or baseline JPEG (pure-numpy T.81 codec). Unknown
-    formats raise ValueError for the caller to classify."""
+    (zlib+numpy), baseline JPEG (pure-numpy T.81 codec), or GIF (LZW;
+    first composited frame). Unknown formats raise ValueError for the
+    caller to classify."""
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[: len(_PNG_SIG)] == _PNG_SIG:
@@ -264,7 +268,11 @@ def decode_image(data: bytes):
         from .jpeg import decode_jpeg
 
         return decode_jpeg(data)
-    raise ValueError("not a BMP/PNG/JPEG file")
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif_first
+
+        return decode_gif_first(data)
+    raise ValueError("not a BMP/PNG/JPEG/GIF file")
 
 
 def resize_nearest(img, tw: int, th: int):
@@ -280,14 +288,14 @@ def resize_nearest(img, tw: int, th: int):
 
 
 def _decode_image_real(data: bytes, dim: int = 8):
-    """Real decode + feature vector: BMP, PNG, and baseline JPEG decode
-    for real; unknown/exotic formats (progressive JPEG, WebP, ...) would
-    need a codec library (absent) and raise."""
+    """Real decode + feature vector: BMP, PNG, baseline JPEG, and GIF
+    decode for real; unknown/exotic formats (progressive JPEG, WebP,
+    ...) would need a codec library (absent) and raise."""
     try:
         img = decode_image(data)
     except ValueError as e:
         raise NotImplementedError(
-            f"image format beyond the BMP/PNG/baseline-JPEG kernels "
+            f"image format beyond the BMP/PNG/baseline-JPEG/GIF kernels "
             f"requires a codec library — not available in this container "
             f"({e}); use fake=True for the stand-in"
         )
@@ -376,6 +384,56 @@ def make_jpeg_assets(spark, n: int) -> DataFrame:
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
+def make_gif_assets(spark, n: int, animated: bool = False,
+                    frames: int = 4, fps: int = 10) -> DataFrame:
+    """Asset table whose payloads are REAL GIFs (``operators/gif``, LZW):
+    deterministic indexed gradient patterns over a 64-color palette,
+    alternating interlaced/progressive scan order. ``animated=True``
+    emits ``kind='video'`` multi-frame GIF89a animations (horizontal
+    motion, NETSCAPE loop block) so GIF feeds the same frame_sample /
+    video_frame_features path as AVI."""
+    import numpy as np
+
+    from .gif import encode_gif
+
+    pal = np.stack(
+        [
+            (np.arange(64) * 4).astype(np.uint8),
+            (255 - np.arange(64) * 4).astype(np.uint8),
+            ((np.arange(64) * 7) % 256).astype(np.uint8),
+        ],
+        axis=1,
+    )
+    rows = []
+    for i in range(n):
+        w, h = 63 + i % 32, 48 + i % 24
+        yy, xx = np.mgrid[0:h, 0:w]
+        if animated:
+            # moving bright block over a static gradient: every frame has
+            # a DISTINCT chunk-mean feature vector (a plain shifted
+            # gradient aliases under the %64 wrap — frames would tie at
+            # cosine 1.0 and break dup-detection assertions)
+            base = (
+                (xx * 63 // max(w - 1, 1) + yy * 63 // max(h - 1, 1) + i) % 64
+            ).astype(np.uint8)
+            fr = []
+            for t in range(frames):
+                f = base.copy()
+                x0 = (5 * t) % max(w - 8, 1)
+                f[:, x0 : x0 + 8] = (f[:, x0 : x0 + 8] + 17) % 64
+                fr.append(f)
+            delay = 1000 // fps
+            data = encode_gif(fr, pal, delays_ms=[delay] * frames)
+            rows.append((
+                i, "video", data, "image/gif", w, h, int(frames * delay),
+            ))
+        else:
+            idx = ((xx * 63 // max(w - 1, 1) + yy * 63 // max(h - 1, 1) + i) % 64).astype(np.uint8)
+            data = encode_gif(idx, pal, interlace=bool(i % 2))
+            rows.append((i, "image", data, "image/gif", w, h, 0))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
 def _decode_image_fake(data: bytes, dim: int = 8):
     """Deterministic stand-in: 'pixels' from blake2b of the payload."""
     h = hashlib.blake2b(data, digest_size=dim * 4).digest()
@@ -446,6 +504,40 @@ def _sample_avi_frames(data: bytes, every_ms: int):
     return [(fno, frames[fno]) for fno in range(0, len(frames), step)]
 
 
+def _sample_gif_frames(data: bytes, every_ms: int):
+    """(frame_no, RGB array) sampled every ``every_ms`` from an animated
+    GIF: the frame DISPLAYED at each sample instant t = k*every_ms,
+    derived from the per-frame GCE delays (zero delays count as 10 ms,
+    the de-facto browser floor)."""
+    from .gif import decode_gif
+
+    frames, delays = decode_gif(data)
+    if len(frames) == 1:
+        return [(0, frames[0])]
+    spans = [max(d, 10) for d in delays]
+    total = sum(spans)
+    out = []
+    fno, cum = 0, spans[0]
+    t = 0
+    while t < total:
+        while t >= cum and fno < len(frames) - 1:
+            fno += 1
+            cum += spans[fno]
+        if not out or out[-1][0] != fno:
+            out.append((fno, frames[fno]))
+        t += every_ms
+    return out
+
+
+def _sample_video_frames(data: bytes, every_ms: int):
+    """Real-video dispatch: animated GIF (``operators/gif``) or AVI
+    (``operators/avi`` — DIB/MJPG); anything else raises ValueError for
+    the caller to classify."""
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return _sample_gif_frames(data, every_ms)
+    return _sample_avi_frames(data, every_ms)
+
+
 def frame_sample(assets: DataFrame, every_ms: int = 5000, fake: bool = True) -> DataFrame:
     """Video frame sampling: one row per sampled frame.
 
@@ -473,12 +565,12 @@ def frame_sample(assets: DataFrame, every_ms: int = 5000, fake: bool = True) -> 
                         )
                     continue
                 try:
-                    sampled = _sample_avi_frames(bytes(data), every_ms)
+                    sampled = _sample_video_frames(bytes(data), every_ms)
                 except ValueError as e:
                     raise NotImplementedError(
-                        f"video beyond the DIB/MJPG AVI kernels needs "
-                        f"pyav — not available in this container ({e}); "
-                        f"use fake=True for the stand-in"
+                        f"video beyond the DIB/MJPG AVI and animated-GIF "
+                        f"kernels needs pyav — not available in this "
+                        f"container ({e}); use fake=True for the stand-in"
                     )
                 for fno, img in sampled:
                     out["asset_id"].append(aid)
@@ -514,7 +606,7 @@ def video_frame_features(
         for b in batches:
             out = {"asset_id": [], "frame_no": [], "feature": []}
             for aid, data in zip(b["asset_id"], b["bytes"]):
-                for fno, img in _sample_avi_frames(bytes(data), every_ms):
+                for fno, img in _sample_video_frames(bytes(data), every_ms):
                     gray = img.astype(np.float64).mean(axis=2).ravel() / 255.0
                     chunks = np.array_split(gray, dim)
                     out["asset_id"].append(aid)
@@ -652,13 +744,14 @@ RESIZED_SCHEMA = (
 
 
 def resize_images(assets: DataFrame, max_px: int = 512) -> DataFrame:
-    """REAL pixel resize for BMP image assets (the engine twin of the
+    """REAL pixel resize for image assets (the engine twin of the
     reference's mail-image ``Resize``, ``DataStructure/Library.fs:70-126``):
     aspect-preserving downscale to ``max_px`` via numpy nearest-neighbour,
-    re-encoded as BMP. Images already within bounds pass through
-    untouched (``resized=false``), exactly the reference's behavior.
-    Arrow-batched ``mapInPandas``; non-BMP payloads raise (they need a
-    codec lib this container lacks)."""
+    re-encoded IN-FORMAT (BMP/PNG/JPEG/GIF — GIF in index space, all
+    frames, palette and delays preserved). Images already within bounds
+    pass through untouched (``resized=false``), exactly the reference's
+    behavior. Arrow-batched ``mapInPandas``; other formats raise (they
+    need a codec lib this container lacks)."""
     import pandas as pd  # noqa: F401
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -673,15 +766,24 @@ def resize_images(assets: DataFrame, max_px: int = 512) -> DataFrame:
                 raw = bytes(data)
                 is_png = raw[: len(_PNG_SIG)] == _PNG_SIG
                 is_jpeg = raw[:2] == b"\xff\xd8"
+                is_gif = raw[:6] in (b"GIF87a", b"GIF89a")
                 # native-channel decode so re-encode stays in-format
                 # (PNG keeps its alpha/gray planes; BMP stays 24 bpp RGB;
-                # JPEG re-encodes baseline 4:4:4)
+                # JPEG re-encodes baseline 4:4:4; GIF resizes every frame
+                # in INDEX space and keeps its palette + delays — no
+                # quantization loss)
+                gif_frames = gif_pal = gif_delays = None
                 if is_png:
                     img = decode_png(raw)
                 elif is_jpeg:
                     from .jpeg import decode_jpeg
 
                     img = decode_jpeg(raw)
+                elif is_gif:
+                    from .gif import decode_gif_indexed
+
+                    gif_frames, gif_pal, gif_delays = decode_gif_indexed(raw)
+                    img = gif_frames[0][:, :, None]
                 else:
                     img = decode_bmp(raw)
                 h, w = img.shape[:2]
@@ -691,15 +793,27 @@ def resize_images(assets: DataFrame, max_px: int = 512) -> DataFrame:
                     # Python round() (banker's: 24.5 would go to 24)
                     tw = int(w * scale + 0.5)
                     th = int(h * scale + 0.5)
-                    img = resize_nearest(img, tw, th)
-                    if is_png:
-                        enc = encode_png(img)
-                    elif is_jpeg:
-                        from .jpeg import encode_jpeg
+                    if is_gif:
+                        from .gif import encode_gif
 
-                        enc = encode_jpeg(img)
+                        small = [
+                            resize_nearest(fr[:, :, None], tw, th)[:, :, 0]
+                            for fr in gif_frames
+                        ]
+                        enc = encode_gif(
+                            small if len(small) > 1 else small[0],
+                            gif_pal, delays_ms=gif_delays,
+                        )
                     else:
-                        enc = encode_bmp(img)
+                        img = resize_nearest(img, tw, th)
+                        if is_png:
+                            enc = encode_png(img)
+                        elif is_jpeg:
+                            from .jpeg import encode_jpeg
+
+                            enc = encode_jpeg(img)
+                        else:
+                            enc = encode_bmp(img)
                     out["bytes"].append(enc)
                     out["resized"].append(True)
                 else:

@@ -1378,6 +1378,184 @@ class TestMultimodal:
         plan = MM.resize_plan(vids, max_px=32).collect()
         assert all(r["target_width"] <= 32 and r["target_height"] <= 32 for r in plan)
 
+    # -- GIF kernel (round 6, operators/gif.py) -------------------------
+
+    def test_gif_roundtrip_palettes_and_interlace(self):
+        """r6: GIF LZW encode→decode is the IDENTITY on indexed pixels
+        for every palette size class (2-slot .. 256-slot → LZW min code
+        sizes 2..8) and for both scan orders (progressive/interlaced) —
+        GIF is lossless by construction, unlike JPEG."""
+        from companycatalogcrawlerparser_spark.operators.gif import (
+            decode_gif_first, encode_gif, gif_dims,
+        )
+
+        rng = np.random.default_rng(61)
+        for n_col in (2, 5, 17, 64, 256):
+            pal = rng.integers(0, 256, (n_col, 3), dtype=np.uint8)
+            idx = rng.integers(0, n_col, (37, 53)).astype(np.uint8)
+            for interlace in (False, True):
+                data = encode_gif(idx, pal, interlace=interlace)
+                assert gif_dims(data) == (53, 37)
+                assert np.array_equal(decode_gif_first(data), pal[idx])
+
+    def test_gif_lzw_dictionary_reset(self):
+        """A large repetitive image drives the LZW table past 4096 codes
+        so the encoder's CLEAR/reset path and the decoder's 12-bit cap
+        are both exercised; roundtrip stays exact and the stream really
+        compresses (sanity that LZW is doing LZW)."""
+        from companycatalogcrawlerparser_spark.operators.gif import (
+            decode_gif_first, encode_gif,
+        )
+
+        pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+        rng = np.random.default_rng(62)
+        # half structured tiles (dictionary-friendly), half noise bursts
+        # (dictionary-hostile) → multiple resets
+        a = np.tile(np.arange(64, dtype=np.uint8), (150, 100))
+        b = rng.integers(0, 256, a.shape).astype(np.uint8)
+        img = np.where(np.mgrid[0 : a.shape[0], 0 : a.shape[1]][0] % 2 == 0, a, b)
+        data = encode_gif(img, pal)
+        assert np.array_equal(decode_gif_first(data), pal[img])
+        rep = np.tile(np.arange(16, dtype=np.uint8), (300, 80))
+        small = encode_gif(rep, pal[:16])
+        assert len(small) < rep.size // 10  # actually compressed
+        assert np.array_equal(decode_gif_first(small), pal[:16][rep])
+
+    def test_gif_animation_transparency_disposal(self):
+        """GIF89a animation semantics: per-frame delays surface, a
+        transparent index keeps the prior screen's pixels, disposal 2
+        restores the background after the frame, disposal 3 restores the
+        previous screen — checked against hand-composited expectations."""
+        from companycatalogcrawlerparser_spark.operators.gif import (
+            decode_gif, encode_gif,
+        )
+
+        pal = np.array(
+            [[9, 9, 9], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8
+        )
+        f0 = np.full((10, 12), 1, np.uint8)
+        f1 = np.zeros((10, 12), np.uint8)  # transparent everywhere...
+        f1[2:5, 3:6] = 2  # ...except a green patch
+        f2 = np.full((10, 12), 3, np.uint8)
+
+        # disposal=1 (keep): frame1 = green patch over red screen
+        anim = encode_gif(
+            [f0, f1, f2], pal, delays_ms=[40, 80, 120], transparent=0,
+            disposal=1,
+        )
+        frames, delays = decode_gif(anim)
+        assert delays == [40, 80, 120]
+        exp1 = pal[f0].copy()
+        exp1[2:5, 3:6] = pal[2]
+        assert np.array_equal(frames[1], exp1)
+        assert np.array_equal(frames[2], pal[f2])
+
+        # disposal=2 (restore background, bg index 0 = dark gray):
+        # frame1's canvas starts from bg, not from frame0's red
+        anim2 = encode_gif(
+            [f0, f1, f2], pal, delays_ms=[10, 10, 10], transparent=0,
+            disposal=2,
+        )
+        frames2, _ = decode_gif(anim2)
+        exp1b = np.tile(pal[0], (10, 12, 1))
+        exp1b[2:5, 3:6] = pal[2]
+        assert np.array_equal(frames2[1], exp1b)
+
+    def test_gif_indexed_decode_and_classification(self):
+        """decode_gif_indexed is the lossless in-format rewrite surface:
+        full-screen index frames + palette + delays roundtrip exactly;
+        non-GIF bytes classify as ValueError (decode_image contract)."""
+        from companycatalogcrawlerparser_spark.operators.gif import (
+            decode_gif, decode_gif_indexed, encode_gif,
+        )
+
+        rng = np.random.default_rng(63)
+        pal = rng.integers(0, 256, (32, 3), dtype=np.uint8)
+        frames = [
+            rng.integers(0, 32, (21, 34)).astype(np.uint8) for _ in range(3)
+        ]
+        data = encode_gif(frames, pal, delays_ms=[30, 60, 90])
+        fidx, p2, delays = decode_gif_indexed(data)
+        assert delays == [30, 60, 90] and np.array_equal(p2[:32], pal)
+        for a, b in zip(frames, fidx):
+            assert np.array_equal(a, b)
+        with pytest.raises(ValueError):
+            decode_gif(b"not a gif at all")
+        with pytest.raises(ValueError):
+            MM.decode_image(b"\x00\x01rubbish")
+
+    def test_gif_image_features_and_resize_e2e(self, spark):
+        """REAL GIF assets through the Spark surfaces: image_features
+        (fake=False) equals the driver-side kernel per asset, and
+        resize_images emits IN-FORMAT GIFs — index space, palette and
+        frame count preserved, nearest-neighbour-exact pixels."""
+        from companycatalogcrawlerparser_spark.operators.gif import (
+            decode_gif_indexed,
+        )
+
+        assets = MM.make_gif_assets(spark, 6)
+        feats = {
+            r["asset_id"]: r["feature"]
+            for r in MM.image_features(assets, fake=False, dim=8).collect()
+        }
+        for r in assets.collect():
+            want = MM._decode_image_real(bytes(r["bytes"]), 8)
+            got = feats[r["asset_id"]]
+            assert np.allclose(got, want, atol=1e-6)
+
+        resized = {
+            r["asset_id"]: r
+            for r in MM.resize_images(assets, max_px=32).collect()
+        }
+        for r in assets.collect():
+            rr = resized[r["asset_id"]]
+            assert rr["width"] <= 32 and rr["height"] <= 32
+            assert rr["resized"]
+            out = bytes(rr["bytes"])
+            assert out[:6] == b"GIF89a"  # stayed in-format
+            fidx, pal, _ = decode_gif_indexed(out)
+            src_f, src_pal, _ = decode_gif_indexed(bytes(r["bytes"]))
+            assert np.array_equal(pal, src_pal) and len(fidx) == len(src_f)
+            want = MM.resize_nearest(
+                src_f[0][:, :, None], rr["width"], rr["height"]
+            )[:, :, 0]
+            assert np.array_equal(fidx[0], want)
+
+    def test_gif_animated_frame_sample_and_features_e2e(self, spark):
+        """Animated GIF is the second real compressed video path next to
+        MJPEG-AVI: frame_sample(fake=False) hashes equal the driver-side
+        kernel (delay-weighted sampling), and a duplicated animation is
+        its twin's top cosine neighbour via video_frame_features —
+        GIF → frames → embedding → ANN, all real."""
+        import hashlib as _hl
+
+        assets = MM.make_gif_assets(spark, 3, animated=True, frames=5,
+                                    fps=10)
+        got = sorted(
+            (r["asset_id"], r["frame_no"], r["frame_hash"])
+            for r in MM.frame_sample(assets, every_ms=200, fake=False).collect()
+        )
+        want = sorted(
+            (r["asset_id"], fno,
+             _hl.blake2b(img.tobytes(), digest_size=8).hexdigest())
+            for r in assets.collect()
+            for fno, img in MM._sample_gif_frames(bytes(r["bytes"]), 200)
+        )
+        assert got == want and len(got) >= 6
+        dup = assets.filter(F.col("asset_id") == 0).select(
+            F.lit(100).cast("long").alias("asset_id"), "kind", "bytes",
+            "mime", "width", "height", "duration_ms",
+        )
+        feats = MM.video_frame_features(
+            assets.unionByName(dup), every_ms=300
+        ).select(
+            (F.col("asset_id") * 1000 + F.col("frame_no")).alias("vec_id"),
+            F.col("feature").alias("embedding"),
+        )
+        q = feats.filter(F.col("vec_id") == 0)
+        top = SIM.cosine_topk_bruteforce(q, feats, k=1).collect()
+        assert top and top[0]["neighbor_id"] == 100000
+
 
 class TestStreaming:
     def test_host_throughput_available_now(self, spark, tmp_path):
