@@ -736,11 +736,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_groups": q_simhash_groups,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_lsh_stream": _stream_dedup_query,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_pairs": q_cosine_pairs,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
     }
+
+
+def _stream_dedup_query(spark, sf_dir):
+    from companycatalogcrawlerparser_spark import harness as _H
+
+    return _H.q_minhash_lsh_stream(spark, sf_dir)
 
 
 def _crawl_harness_queries():
@@ -1105,6 +1112,32 @@ capped AS (SELECT banded.* FROM banded JOIN ok USING (band, key))
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM capped a JOIN capped b
   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+""",
+        # one-shot twin of the STREAMING dedup row: identical signatures,
+        # but the cap is an arrival-RANK predicate (first cap admitted),
+        # not batch's final-bucket-size predicate — an unbounded stream
+        # cannot know final size (see streaming/dedup.py docstring)
+        "minhash_lsh_stream": f"""
+WITH sh AS (
+  SELECT doc_id, substring({norm_text}, i, 5) AS shingle
+  FROM (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0) AS documents,
+       LATERAL unnest(generate_series(1, greatest(length({norm_text}) - 4, 1))) AS u(i)
+),
+h AS (SELECT doc_id, {_mh_ha} AS ha, {_mh_hb} AS hb FROM sh),
+sig AS (SELECT doc_id, {minhash_aggs(8)} FROM h GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band,
+         CAST(mh_0 AS VARCHAR) || '|' || CAST(mh_1 AS VARCHAR) AS key FROM sig
+  UNION ALL SELECT doc_id, 1, CAST(mh_2 AS VARCHAR) || '|' || CAST(mh_3 AS VARCHAR) FROM sig
+  UNION ALL SELECT doc_id, 2, CAST(mh_4 AS VARCHAR) || '|' || CAST(mh_5 AS VARCHAR) FROM sig
+  UNION ALL SELECT doc_id, 3, CAST(mh_6 AS VARCHAR) || '|' || CAST(mh_7 AS VARCHAR) FROM sig),
+ranked AS (SELECT doc_id, band, key,
+                  row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rk
+           FROM banded)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM ranked a JOIN ranked b
+  ON a.band = b.band AND a.key = b.key AND a.rk < b.rk
+ AND b.rk <= {_H.STREAM_DEDUP_CAP}
 """,
         "ngram_jaccard": f"""
 WITH docs AS (SELECT * FROM documents WHERE doc_id < 200),

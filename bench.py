@@ -197,6 +197,11 @@ def run_query_bench(spark, sf_dir: str, per_kind: bool = False) -> dict:
         "j4_big_join_agg",
         "dedup_exact",
         "minhash_lsh_pairs",
+        # minhash_lsh_stream is deliberately NOT here: at sf0.1 its
+        # memory-sink fold carries ~288k pairs (~1.2M pre-distinct rows to
+        # the driver) — a verification surface, not a headline operator.
+        # Its measured-performance story is the XL stream_dedup task
+        # (tools/bench_dedup_xl.py: parquet sink, 250k docs, 8 vs 32c).
         "simhash_groups",
         "ann_bruteforce",
         "ann_lsh",

@@ -1364,3 +1364,84 @@ SELECT host,
        max(epoch_ms(ts)) AS last_ts_ms
 FROM g GROUP BY host
 """
+
+
+# ---------------------------------------------------------------------------
+# streaming near-dup detection — dedup-on-ingest under the hard hash signal
+# (r6: streaming twin of minhash_lsh_pairs; see streaming/dedup.py)
+
+STREAM_DEDUP_BATCHES = 3
+STREAM_DEDUP_CAP = 256
+
+
+def q_minhash_lsh_stream(spark, sf_dir) -> DataFrame:
+    """Distinct online near-dup candidate pairs from a REAL multi-batch
+    streaming run of ``streaming/dedup.py``: half the sf documents table
+    (doc_id % 2 = 0 — the row pins cross-batch state semantics, the batch
+    row already covers volume) split into ``STREAM_DEDUP_BATCHES``
+    id-ordered files, streamed with ``maxFilesPerTrigger=1`` +
+    ``availableNow``; band keys are the per-row streaming projection
+    (hash-equal to the batch explode+aggregate path — that equality is
+    itself pytest-pinned), pairs come from the per-bucket
+    ``applyInPandasWithState`` whose state must carry across micro-batches
+    for any pair whose members arrive in different batches. The oracle is
+    the one-shot arrival-rank SQL twin (rk < rk' ≤ cap over the whole
+    half-table): incremental == global, same contract as
+    :func:`q_events_audit`."""
+    import uuid
+
+    from .streaming.dedup import banded_keys_rowwise, streaming_lsh_pairs
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+        .withColumn(
+            "bucket",
+            F.ntile(STREAM_DEDUP_BATCHES).over(Window.orderBy("doc_id")),
+        )
+    )
+
+    d = tempfile.mkdtemp(prefix="ccp_sdedup_")
+    src = os.path.join(d, "src")
+    os.makedirs(src)
+    # one write job; slice files renamed into the source dir with
+    # increasing mtimes so batches stream in ascending-doc_id order
+    # (arrival order == id order is what the oracle's rank ORDER BY
+    # doc_id mirrors) — same mechanics as q_events_audit
+    tmp = os.path.join(d, "parts")
+    docs.repartition("bucket").write.partitionBy("bucket").parquet(tmp)
+    now = None
+    for i in range(1, STREAM_DEDUP_BATCHES + 1):
+        bdir = os.path.join(tmp, f"bucket={i}")
+        part = next(
+            fn for fn in sorted(os.listdir(bdir)) if fn.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        os.rename(os.path.join(bdir, part), dst)
+        if now is None:
+            now = os.path.getmtime(dst)
+        os.utime(dst, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    pairs = streaming_lsh_pairs(
+        banded_keys_rowwise(stream, num_hashes=8, bands=4),
+        max_bucket=STREAM_DEDUP_CAP,
+    )
+    name = "ccp_sdedup_" + uuid.uuid4().hex[:12]
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(d, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the same pair re-arrives from multiple bands (batch op dedups the
+    # same way); fold = DISTINCT, exactly the batch operator's last step
+    return spark.table(name).select("id_a", "id_b").distinct()

@@ -83,6 +83,13 @@ class CrawlConfig:
     #   → broadcast it and STREAM the corpus (html never shuffles/sorts);
     #   disable only for frontier batches beyond broadcast size, where the
     #   pages table should be bucketed by url_hash instead
+    compact_every: int = 0  # ENGINE-NEW (opt-in, 0 = off): every K
+    #   committed rounds, rewrite the append-style tables (bag/trace/
+    #   flags) into one compacted base snapshot and prune the covered
+    #   per-round data dirs (manifests kept). At thousand-round scale
+    #   finalize() otherwise unions thousands of tiny scan legs — see
+    #   SnapshotStore.compact. Reader-invisible: finalize reads through
+    #   read_union; pytest pins crawl-output hash equality on/off.
     use_sitemaps: bool = False  # ENGINE-NEW (opt-in, default off so the
     #   reference-parity traces are untouched): after the seed round,
     #   enrich the contact round's frontier with same-host contact-like
@@ -330,6 +337,10 @@ def run_crawl(
             # applyInPandas build — seen keys never reach the driver)
             tables["blooms"] = useen.bloom_table(url_seen)
         store.commit(round_id, tables, counters=counters)
+        if cfg.compact_every and (round_id + 1) % cfg.compact_every == 0:
+            store.compact(["bag", "trace", "flags"], upto=round_id)
+            store.prune_compacted(round_id)
+            _mark(f"round {round_id} compacted")
 
     _mark("rounds done")
     out = finalize(spark, store, cfg)
@@ -572,16 +583,12 @@ def _seed_round(spark, cfg, tokens, ok_tokens) -> dict:
 def finalize(spark: SparkSession, store: SnapshotStore, cfg: CrawlConfig) -> dict:
     """F10 post-filter + K5 global dedup over all committed rounds."""
     rounds = store.committed_rounds()
-    bag = None
-    trace = None
-    flags = None
-    for r in rounds:
-        b = store.read(r, "bag")
-        t = store.read(r, "trace")
-        fl = store.read(r, "flags")
-        bag = b if bag is None else bag.unionByName(b)
-        trace = t if trace is None else trace.unionByName(t)
-        flags = fl if flags is None else flags.unionByName(fl)
+    # compaction-aware: newest compacted base + tail rounds (row-equal to
+    # the raw per-round union, but at scale this is the difference between
+    # 3 scan legs and thousands — see SnapshotStore.compact)
+    bag = store.read_union("bag")
+    trace = store.read_union("trace")
+    flags = store.read_union("flags")
     url_seen = store.read(rounds[-1], "url_seen")
 
     filtered = finalize_emails(bag)  # F10

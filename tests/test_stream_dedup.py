@@ -1,0 +1,119 @@
+"""Streaming near-dup detection (streaming/dedup.py).
+
+Pins the two contracts the driver row relies on:
+1. the per-row (streaming-safe) band-key projection is bit-identical to
+   the batch explode+aggregate path, and
+2. applyInPandasWithState carries bucket state across micro-batches —
+   a duplicate arriving in a later file still pairs with its original —
+   with the online (first-k-arrivals) cap semantics.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from companycatalogcrawlerparser_spark.operators import dedup as D
+from companycatalogcrawlerparser_spark.streaming.dedup import (
+    banded_keys_rowwise,
+    streaming_lsh_pairs,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+DOC_ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bend"),
+    (3, "completely different text about spark structured streaming state"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (5, "another unrelated document mentioning catalogs and crawlers only"),
+    (6, "the quick brown fox jumps over the lazy dog near the river bank!"),
+    # null text: the batch path KEEPS it (shingles(NULL) = [NULL] → all-
+    # null signature → concat_ws '' band keys); the row-wise path must
+    # land on the identical '' keys, not drop the doc
+    (7, None),
+]
+
+
+def test_rowwise_banded_equals_batch(spark):
+    df = _docs(spark, DOC_ROWS)
+    row = banded_keys_rowwise(df, num_hashes=8, bands=4)
+    batch = D._lsh_banded(df, "doc_id", "text", 5, 8, 4)
+    assert sorted(map(tuple, row.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def _run_stream(spark, tmp_path, batches, max_bucket):
+    """Write each batch (list of rows) as one file with increasing mtime,
+    run the stateful stream availableNow, return the distinct pair set."""
+    import uuid
+
+    src = tmp_path / "src"
+    src.mkdir()
+    now = None
+    for i, rows in enumerate(batches, start=1):
+        one = tmp_path / f"part{i}"
+        _docs(spark, rows).coalesce(1).write.parquet(str(one))
+        part = next(
+            fn for fn in sorted(os.listdir(one)) if fn.endswith(".parquet")
+        )
+        dst = src / f"{i:03d}.parquet"
+        os.rename(one / part, dst)
+        if now is None:
+            now = os.path.getmtime(dst)
+        os.utime(dst, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    pairs = streaming_lsh_pairs(
+        banded_keys_rowwise(stream, num_hashes=8, bands=4),
+        max_bucket=max_bucket,
+    )
+    name = "tsd_" + uuid.uuid4().hex[:12]
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {
+        (r.id_a, r.id_b)
+        for r in spark.table(name).select("id_a", "id_b").distinct().collect()
+    }
+
+
+def test_cross_batch_state_pairs(spark, tmp_path):
+    # doc 1 (batch 1) and its dups 4 (batch 2) and 6 (batch 3): pairing
+    # 1-4, 1-6 and 4-6 requires bucket state to survive micro-batches
+    batches = [DOC_ROWS[0:2], DOC_ROWS[2:4], DOC_ROWS[4:7]]
+    got = _run_stream(spark, tmp_path, batches, max_bucket=256)
+
+    # uncapped online == uncapped batch (buckets here are far below cap)
+    want = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(
+            _docs(spark, DOC_ROWS), max_bucket=None
+        ).collect()
+    }
+    assert got == want
+    assert (1, 4) in got and (1, 6) in got and (4, 6) in got  # span batches
+
+
+def test_online_cap_admits_first_k(spark, tmp_path):
+    # four identical docs land in one bucket per band; cap=2 admits the
+    # first two ARRIVALS only -> exactly the (10, 20) pair, even though
+    # the later dups arrive in later batches
+    same = "identical text repeated verbatim for the capped bucket case"
+    batches = [[(10, same), (20, same)], [(30, same)], [(40, same)]]
+    got = _run_stream(spark, tmp_path, batches, max_bucket=2)
+    assert got == {(10, 20)}

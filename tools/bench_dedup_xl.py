@@ -130,7 +130,7 @@ def _task_action(spark, task: str, data_dir: str):
     docs = vecs = None
     if task in ("minhash_lsh_pairs", "winnow_jaccard", "simhash_groups",
                 "exact_dedup", "text_metrics", "control_tokenhash",
-                "dedup_pipeline"):
+                "dedup_pipeline", "stream_dedup"):
         docs = spark.read.parquet(f"{data_dir}/documents").persist()
         n_in = docs.count()
     else:
@@ -232,6 +232,73 @@ def _task_action(spark, task: str, data_dir: str):
             )
             return {"rows_out": top.count(), "n_cells": n_cells,
                     "nprobe": nprobe}
+    elif task == "stream_dedup":
+        # streaming dedup-on-ingest (r6, streaming/dedup.py): the XL
+        # answer to "what does the ONLINE family member cost". The
+        # id-ordered slice files are prepared untimed (input prep, like
+        # the persist+count above); each timed sample pays the full
+        # stream lifecycle — startup, per-batch per-row band projection
+        # (interpreted HOF: the price of a stateless streaming plan, see
+        # banded_keys_rowwise), stateful bucket join, parquet sink.
+        import shutil as _sh
+
+        from companycatalogcrawlerparser_spark.streaming.dedup import (
+            banded_keys_rowwise, streaming_lsh_pairs,
+        )
+
+        n_stream = int(os.environ.get("STREAM_DEDUP_DOCS", "250000"))
+        n_batches = int(os.environ.get("STREAM_DEDUP_BATCHES", "4"))
+        src = f"{data_dir}/stream_src_{n_stream}_{n_batches}"
+        if not os.path.exists(src):
+            sub = docs.filter(F.col("doc_id") < n_stream).select(
+                "doc_id", "text",
+                (F.floor(F.col("doc_id") * n_batches / n_stream) + 1)
+                .cast("int").alias("bucket"),
+            )
+            tmp = f"{src}.parts"
+            sub.repartition("bucket").write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(tmp)
+            os.makedirs(src)
+            now = None
+            for b in range(1, n_batches + 1):
+                bdir = f"{tmp}/bucket={b}"
+                part = next(fn for fn in sorted(os.listdir(bdir))
+                            if fn.endswith(".parquet"))
+                dst = f"{src}/{b:03d}.parquet"
+                os.rename(f"{bdir}/{part}", dst)
+                if now is None:
+                    now = os.path.getmtime(dst)
+                os.utime(dst, (now + b, now + b))
+            _sh.rmtree(tmp)
+
+        def run():
+            work = tempfile.mkdtemp(prefix="stream_dedup_")
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            pairs = streaming_lsh_pairs(
+                banded_keys_rowwise(stream, num_hashes=12, bands=4),
+                max_bucket=256,
+            )
+            q = (
+                pairs.writeStream.format("parquet")
+                .option("path", f"{work}/out")
+                .option("checkpointLocation", f"{work}/chk")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            n = (
+                spark.read.parquet(f"{work}/out")
+                .select("id_a", "id_b").distinct().count()
+            )
+            _sh.rmtree(work, ignore_errors=True)
+            return {"rows_out": n, "n_stream_docs": n_stream,
+                    "n_batches": n_batches}
     elif task == "control_tokenhash":
         def run():
             n = (
