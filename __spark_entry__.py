@@ -563,6 +563,30 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return D.minhash_lsh_pairs(d, num_hashes=8, bands=4)
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup pairs → connected components → one survivor per cluster.
+
+    Pairs alone over-drop transitive chains (a-b, b-c drops both b AND c
+    even though a,c were never compared); the 100 TB decision unit is the
+    connected COMPONENT of the pair graph. Spark side is alternating
+    large-star/small-star (operators.dedup.connected_components); the
+    oracle twin is a recursive min-label propagation CTE over the same
+    LSH pairs. Every doc gets a row: clustered docs carry their
+    component's min doc_id, untouched docs are their own singleton.
+
+    The pair graph is gap-filtered (id_b - id_a <= 5): the sf0.01
+    fixture's 500 tiny docs make LSH near-complete (40k pairs), which is
+    an artifact of fixture size — a real LSH candidate graph is sparse.
+    The filter chain-ifies it into long transitive paths, the adversarial
+    case for star contraction (multi-round convergence) and exactly the
+    over-drop shape per-pair dedup gets wrong."""
+    d = _t_wide(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = D.minhash_lsh_pairs(d, num_hashes=8, bands=4).filter(
+        F.col("id_b") - F.col("id_a") <= 5
+    )
+    return D.dedup_clusters(d, pairs).select("doc_id", "cluster_id", "is_rep")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     # labeled union — kind='full': all-pairs jaccard over 200 docs /
     # threshold 0.27 ≈ 70 pairs at sf0.01, spanning the boundary (a
@@ -736,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_groups": q_simhash_groups,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dup_clusters": q_dup_clusters,
         "minhash_lsh_stream": _stream_dedup_query,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_pairs": q_cosine_pairs,
@@ -1112,6 +1137,46 @@ capped AS (SELECT banded.* FROM banded JOIN ok USING (band, key))
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM capped a JOIN capped b
   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+""",
+        # connected components over the LSH pair graph: recursive
+        # min-label propagation (node, comp) until fixpoint — the SQL
+        # twin of the alternating large-star/small-star Spark operator
+        "dup_clusters": f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, substring({norm_text}, i, 5) AS shingle
+  FROM (SELECT doc_id, text FROM documents WHERE doc_id < 300) AS documents,
+       LATERAL unnest(generate_series(1, greatest(length({norm_text}) - 4, 1))) AS u(i)
+),
+h AS (SELECT doc_id, {_mh_ha} AS ha, {_mh_hb} AS hb FROM sh),
+sig AS (SELECT doc_id, {minhash_aggs(8)} FROM h GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band,
+         CAST(mh_0 AS VARCHAR) || '|' || CAST(mh_1 AS VARCHAR) AS key FROM sig
+  UNION ALL SELECT doc_id, 1, CAST(mh_2 AS VARCHAR) || '|' || CAST(mh_3 AS VARCHAR) FROM sig
+  UNION ALL SELECT doc_id, 2, CAST(mh_4 AS VARCHAR) || '|' || CAST(mh_5 AS VARCHAR) FROM sig
+  UNION ALL SELECT doc_id, 3, CAST(mh_6 AS VARCHAR) || '|' || CAST(mh_7 AS VARCHAR) FROM sig),
+ok AS (SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 256),
+capped AS (SELECT banded.* FROM banded JOIN ok USING (band, key)),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM capped a JOIN capped b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+          WHERE b.doc_id - a.doc_id <= 5),
+-- MATERIALIZED is load-bearing: without it DuckDB inlines the whole
+-- minhash pipeline into the recursive member and recomputes it every
+-- iteration (~100 chain iterations x ~2 s)
+edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b AS u, id_a AS v FROM pairs),
+reach AS (
+  SELECT DISTINCT u AS node, u AS comp FROM edges
+  UNION
+  SELECT e.v AS node, r.comp AS comp FROM reach r JOIN edges e ON e.u = r.node
+),
+cc AS (SELECT node, min(comp) AS component FROM reach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(cc.component, d.doc_id) AS cluster_id,
+       d.doc_id = coalesce(cc.component, d.doc_id) AS is_rep
+FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+WHERE d.doc_id < 300
 """,
         # one-shot twin of the STREAMING dedup row: identical signatures,
         # but the cap is an arrival-RANK predicate (first cap admitted),

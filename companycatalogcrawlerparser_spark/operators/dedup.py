@@ -554,3 +554,124 @@ def simhash_members(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     ``(doc_id, simhash)`` row per doc — join on ``simhash`` to enumerate a
     bucket without ever materializing it in a single aggregation buffer."""
     return df.select(F.col(id_col), simhash16(F.col(text_col)).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# dup clustering — connected components over the near-dup pair graph
+#
+# Pairs are not a dedup decision: near-dup edges are transitive in
+# practice (a~b, b~c chains), so the 100 TB pipeline keeps ONE
+# representative per connected COMPONENT of the pair graph, not "drop the
+# larger id of every pair" (which over-drops chains: a-b, b-c drops both
+# b and c even though c was never compared to a). Connected components at
+# this scale is the alternating large-star / small-star algorithm
+# (Kiveris et al., "Connected Components in MapReduce and Beyond",
+# ACM SoCC 2014): O(log^2 n) rounds of two groupBy+join passes, every
+# message addressed to the current minimum of a neighborhood — no
+# label-propagation hub flooding, no driver-side union-find. Components
+# of near-dup graphs are shallow (dense clusters, diameter ~2-3), so the
+# loop typically converges in 2-3 rounds.
+
+
+def _sym_uv(e: DataFrame) -> DataFrame:
+    """Both directions of a (u, v) edge list, self-loops dropped.
+    Large-star needs the FULL neighborhood of every node, so the graph is
+    re-symmetrized each round — the round outputs are directed stars
+    (member → min), on which large-star alone would see empty
+    upward neighborhoods and emit nothing."""
+    return (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(v, m(u)) for every v in N(u) with v > u, m(u) = min(N(u) ∪ {u})."""
+    sym = _sym_uv(edges)
+    m = sym.groupBy("u").agg(
+        F.least(F.first("u"), F.min("v")).alias("m")
+    )
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Canonicalize every edge to (hi, lo); per hi with lows L,
+    m = min(L), emit (x, m) for x in (L ∪ {hi}) \\ {m}."""
+    canon = edges.select(
+        F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
+    ).distinct()
+    m = canon.groupBy("hi").agg(F.min("lo").alias("m"))
+    non_min = (
+        canon.join(m, "hi")
+        .filter(F.col("lo") != F.col("m"))
+        .select(F.col("lo").alias("u"), F.col("m").alias("v"))
+    )
+    self_edge = m.select(F.col("hi").alias("u"), F.col("m").alias("v"))
+    return non_min.unionByName(self_edge).distinct()
+
+
+def connected_components(
+    pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """(node, component) for every node in ``pairs`` (id_a/id_b columns);
+    component = the minimum node id reachable through the pair graph.
+
+    Alternating large-star/small-star with a localCheckpoint per round
+    (iterative self-joins otherwise stack an exponentially deepening
+    lineage — the same discipline as the crawl's frontier loop) and a
+    deterministic fixed-point test (edge set unchanged under exceptAll
+    both ways). ``max_iters`` is a safety rail only: the algorithm
+    provably converges in O(log^2 n) rounds and near-dup graphs converge
+    in 2-3."""
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        same = (
+            nxt.exceptAll(edges).isEmpty()
+            and edges.exceptAll(nxt).isEmpty()
+        )
+        edges = nxt
+        if same:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixed point in {max_iters} iters")
+    # fixed point is a star forest: every edge is (member, root); roots
+    # label themselves
+    members = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = edges.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return members.unionByName(roots).distinct()
+
+
+def dedup_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, cluster_id, is_rep) over ALL docs: docs in the pair graph get
+    their component's min id, untouched docs are their own singleton
+    cluster; ``is_rep`` marks the one kept representative per cluster.
+    Survivor selection for the composed pipeline is then
+    ``filter(is_rep)`` — cluster-correct where the per-pair anti-join
+    over-drops chains (see module note above)."""
+    cc = connected_components(pairs).withColumnRenamed("node", id_col)
+    return (
+        df.select(id_col)
+        .join(cc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_rep", F.col(id_col) == F.col("cluster_id"))
+    )

@@ -1816,3 +1816,93 @@ class TestCuckooFilter:
         legacy = us.bloom_table(seen).drop("kind")
         us.set_blooms(legacy)
         assert {r["url"] for r in us.filter_unseen(cand, seen).collect()} == expected
+
+
+class TestConnectedComponents:
+    """dedup_clusters / connected_components: alternating large-star /
+    small-star over the near-dup pair graph (Kiveris et al., SoCC 2014).
+    The reference dedups per-pair (DbManager.fs insertCompanyEmails'
+    distinct/anti-join shape); clustering is the engine's 100 TB-scale
+    generalization — survivors are per-COMPONENT, not per-pair."""
+
+    @staticmethod
+    def _pairs(spark, edges):
+        return spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges], "id_a long, id_b long"
+        )
+
+    @staticmethod
+    def _uf_expected(edges, nodes):
+        """Plain-Python union-find ground truth: node -> min id of comp."""
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = {}
+        for n in nodes:
+            root = find(n)
+            comp.setdefault(root, []).append(n)
+        return {n: min(members) for members in comp.values() for n in members}
+
+    def test_chain_is_one_component(self, spark):
+        """a-b, b-c: per-pair anti-join drops b AND c; clustering keeps
+        exactly one survivor (the min) for the whole chain."""
+        cc = D.connected_components(self._pairs(spark, [(1, 2), (2, 3)]))
+        got = {r["node"]: r["component"] for r in cc.collect()}
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_two_components_and_singletons(self, spark):
+        docs = spark.createDataFrame(
+            [(i,) for i in range(1, 9)], "doc_id long"
+        )
+        pairs = self._pairs(spark, [(1, 2), (2, 3), (5, 6)])
+        out = {
+            r["doc_id"]: (r["cluster_id"], r["is_rep"])
+            for r in D.dedup_clusters(docs, pairs).collect()
+        }
+        assert out == {
+            1: (1, True), 2: (1, False), 3: (1, False),
+            4: (4, True), 5: (5, True), 6: (5, False),
+            7: (7, True), 8: (8, True),
+        }
+
+    def test_empty_pairs_all_singletons(self, spark):
+        docs = spark.createDataFrame([(7,), (9,)], "doc_id long")
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        out = {
+            r["doc_id"]: (r["cluster_id"], r["is_rep"])
+            for r in D.dedup_clusters(docs, pairs).collect()
+        }
+        assert out == {7: (7, True), 9: (9, True)}
+
+    def test_random_graph_matches_union_find(self, spark):
+        """Deterministic pseudo-random graph (LCG, no RNG import) with a
+        long path to force >1 star round, vs pure-Python union-find."""
+        nodes = list(range(60))
+        x, edges = 12345, []
+        for _ in range(45):
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            a = x % 60
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            b = x % 60
+            if a != b:
+                edges.append((a, b))
+        # adversarial high-diameter path, descending so min is at the end
+        edges += [(i + 1, i) for i in range(40, 52)]
+        expected = self._uf_expected(edges, nodes)
+        # connected_components only sees nodes present in pairs
+        expected = {
+            n: c for n, c in expected.items()
+            if any(n in e for e in edges)
+        }
+        cc = D.connected_components(self._pairs(spark, edges))
+        got = {r["node"]: r["component"] for r in cc.collect()}
+        assert got == expected
