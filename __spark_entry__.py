@@ -26,6 +26,7 @@ from companycatalogcrawlerparser_spark.functions import canon as C
 from companycatalogcrawlerparser_spark.functions import emails as E
 from companycatalogcrawlerparser_spark.functions import predicates as P
 from companycatalogcrawlerparser_spark.operators import dedup as D
+from companycatalogcrawlerparser_spark.operators import linkgraph as LG
 from companycatalogcrawlerparser_spark.operators import similarity as SIM
 from companycatalogcrawlerparser_spark.operators import textquality as TQ
 
@@ -587,6 +588,26 @@ def q_dup_clusters(spark, sf_dir):
     return D.dedup_clusters(d, pairs).select("doc_id", "cluster_id", "is_rep")
 
 
+def q_host_pagerank(spark, sf_dir):
+    """Link-graph PageRank (operators.linkgraph.pagerank): crawl-quality
+    centrality over a deterministic 499-node digraph derived from the
+    events table (u = event_id mod 499, v = (event_id div 7 +
+    user_id*13) mod 499 — integer-only so both engines build the exact
+    same edge set). Fixed-point integer power iteration (scale 1e6,
+    d = 85/100, 3 rounds) makes the ranks bit-identical across
+    partitionings and engines — the oracle is the same recurrence
+    unrolled as three SQL passes. Engine-new vs the reference (no link
+    table in DbManager.fs); the 100 TB role is corpus weighting."""
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("event_id") % 499).alias("src"),
+        ((F.expr("event_id div 7") + F.col("user_id") * 13) % 499).alias(
+            "dst"
+        ),
+    )
+    return LG.pagerank(edges, iters=3).select("node", "rank_q")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     # labeled union — kind='full': all-pairs jaccard over 200 docs /
     # threshold 0.27 ≈ 70 pairs at sf0.01, spanning the boundary (a
@@ -761,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dup_clusters": q_dup_clusters,
+        "host_pagerank": q_host_pagerank,
         "minhash_lsh_stream": _stream_dedup_query,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_pairs": q_cosine_pairs,
@@ -1178,6 +1200,30 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
 WHERE d.doc_id < 300
 """,
+        # fixed-point PageRank: the Spark power iteration unrolled as
+        # three SQL passes — integer arithmetic ((r*85) // (100*deg))
+        # makes every intermediate bit-identical to the engine's
+        "host_pagerank": (
+            """
+WITH e AS (SELECT DISTINCT event_id % 499 AS u,
+                  (event_id // 7 + user_id * 13) % 499 AS v FROM events),
+nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+outdeg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_q FROM nodes)"""
+            + "".join(
+                f""",
+r{k} AS (SELECT n.node, CAST(150000 + coalesce(s.s, 0) AS BIGINT) AS rank_q
+        FROM nodes n LEFT JOIN (
+          SELECT e.v AS node, sum((r.rank_q * 85) // (100 * o.deg)) AS s
+          FROM e JOIN r{k - 1} r ON r.node = e.u
+                 JOIN outdeg o ON o.u = e.u
+          GROUP BY e.v) s ON s.node = n.node)"""
+                for k in (1, 2, 3)
+            )
+            + """
+SELECT node, rank_q FROM r3
+"""
+        ),
         # one-shot twin of the STREAMING dedup row: identical signatures,
         # but the cap is an arrival-RANK predicate (first cap admitted),
         # not batch's final-bucket-size predicate — an unbounded stream

@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from companycatalogcrawlerparser_spark.operators import dedup as D
+from companycatalogcrawlerparser_spark.operators import linkgraph as LG
 from companycatalogcrawlerparser_spark.operators import multimodal as MM
 from companycatalogcrawlerparser_spark.operators import similarity as SIM
 from companycatalogcrawlerparser_spark.operators import textquality as TQ
@@ -1906,3 +1907,68 @@ class TestConnectedComponents:
         cc = D.connected_components(self._pairs(spark, edges))
         got = {r["node"]: r["component"] for r in cc.collect()}
         assert got == expected
+
+
+class TestPageRank:
+    """linkgraph.pagerank: fixed-point integer power iteration vs a
+    pure-Python reference of the same recurrence. Integer arithmetic is
+    the point — sums of longs are order-independent, so the result is
+    bit-identical across partitionings (and to the unrolled-SQL driver
+    oracle), where float PageRank drifts in the last ulp per plan."""
+
+    @staticmethod
+    def _ref(edges, iters, scale=10**6, dn=85, dd=100):
+        e = sorted(set(edges))
+        nodes = sorted({u for u, _ in e} | {v for _, v in e})
+        deg = {}
+        for u, _ in e:
+            deg[u] = deg.get(u, 0) + 1
+        base = scale * (dd - dn) // dd
+        r = {n: scale for n in nodes}
+        for _ in range(iters):
+            s = {n: 0 for n in nodes}
+            for u, v in e:
+                s[v] += (r[u] * dn) // (dd * deg[u])
+            r = {n: base + s[n] for n in nodes}
+        return r
+
+    def _run(self, spark, edges, iters):
+        df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges], "src long, dst long"
+        )
+        got = {
+            r["node"]: r["rank_q"]
+            for r in LG.pagerank(df, iters=iters).collect()
+        }
+        assert got == self._ref(edges, iters)
+        return got
+
+    def test_star_and_dangling(self, spark):
+        # hub 0 feeding 1..3 (dangling sinks), plus a self-loop on 4
+        got = self._run(spark, [(0, 1), (0, 2), (0, 3), (4, 4)], 3)
+        # sinks share the hub's mass equally; the self-loop keeps its own
+        assert got[1] == got[2] == got[3]
+        assert got[4] > got[1] > got[0]
+
+    def test_duplicate_edges_collapse(self, spark):
+        a = self._run(spark, [(1, 2), (1, 2), (2, 3)], 2)
+        b = self._run(spark, [(1, 2), (2, 3)], 2)
+        assert a == b
+
+    def test_zero_iters_is_uniform(self, spark):
+        got = self._run(spark, [(5, 6), (6, 7)], 0)
+        assert set(got.values()) == {10**6}
+
+    def test_cycle_converges_to_symmetry(self, spark):
+        got = self._run(spark, [(1, 2), (2, 3), (3, 1)], 4)
+        assert len(set(got.values())) == 1
+
+    def test_lcg_graph_matches_reference(self, spark):
+        x, edges = 777, []
+        for _ in range(120):
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            a = x % 40
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            b = x % 40
+            edges.append((a, b))
+        self._run(spark, edges, 3)

@@ -130,7 +130,7 @@ def _task_action(spark, task: str, data_dir: str):
     docs = vecs = None
     if task in ("minhash_lsh_pairs", "winnow_jaccard", "simhash_groups",
                 "exact_dedup", "text_metrics", "control_tokenhash",
-                "dedup_pipeline", "stream_dedup"):
+                "dedup_pipeline", "stream_dedup", "connected_components"):
         docs = spark.read.parquet(f"{data_dir}/documents").persist()
         n_in = docs.count()
     else:
@@ -173,19 +173,53 @@ def _task_action(spark, task: str, data_dir: str):
             # jaccard_verify's own localCheckpoint of the candidates)
             verified = D.jaccard_verify(docs, cands, threshold=0.5).persist()
             n_pairs = verified.count()
-            # survivors: drop the higher id of every verified pair —
-            # deterministic keep-lowest policy; anti-join is the
-            # 10^10-scale shape (no collect)
+            # survivors, cluster-correct (r6): connected components over
+            # the verified pair graph, one representative per component —
+            # per-pair "drop id_b" over-drops transitive chains, so both
+            # counts are reported and the delta IS the measured over-drop
+            clusters = D.dedup_clusters(docs, verified, id_col="doc_id")
+            n_surv = int(
+                clusters.agg(
+                    F.sum(F.col("is_rep").cast("long"))
+                ).first()[0]
+            )
             dups = verified.select(F.col("id_b").alias("doc_id")).distinct()
-            survivors = docs.join(dups, "doc_id", "left_anti")
-            n_surv = survivors.count()
+            n_surv_pairs = docs.join(dups, "doc_id", "left_anti").count()
             verified.unpersist()
             m1, m2 = obs_mh.get, obs_wn.get
             return {
-                "rows_out": n_surv, "verified_pairs": n_pairs,
+                "rows_out": n_surv, "rows_out_pairwise": n_surv_pairs,
+                "verified_pairs": n_pairs,
                 "mh_skipped_rows": int(m1["skipped_rows"] or 0),
                 "winnow_skipped_rows": int(m2["skipped_rows"] or 0),
             }
+    elif task == "connected_components":
+        # scale proof for the cluster stage ALONE, on a graph ~20x denser
+        # than any real near-dup pair set at this corpus size: native
+        # deterministic edges over the 1M doc ids — chain runs of ~101
+        # consecutive nodes per 128-id block (the adversarial
+        # high-diameter shape for star contraction) cross-linked by
+        # ~250k xxhash64 pseudo-random edges (merges chains into giant
+        # components). Components must be bit-identical across core
+        # counts (recorded as n_components).
+        i = F.col("doc_id")
+        chain = docs.filter(F.pmod(i, F.lit(128)) < 100).select(
+            i.alias("id_a"), (i + 1).alias("id_b")
+        )
+        rnd = docs.filter(i % 4 == 0).select(
+            i.alias("id_a"),
+            F.pmod(F.xxhash64(i), F.lit(n_in)).alias("id_b"),
+        )
+        edges = chain.unionByName(rnd).persist()
+        n_edges = edges.count()
+
+        def run():
+            cc = D.connected_components(edges)
+            got = cc.agg(
+                F.count("*"), F.countDistinct("component")
+            ).first()
+            return {"rows_out": int(got[0]), "n_components": int(got[1]),
+                    "n_edges": n_edges}
     elif task == "simhash_groups":
         def run():
             return {"rows_out": D.simhash_groups(docs).count()}
@@ -384,7 +418,8 @@ def run_one(task: str, cores: int, data_dir: str, best_of: int,
 # ---------------------------------------------------------------------------
 
 DEFAULT_TASKS = (
-    "minhash_lsh_pairs", "winnow_jaccard", "dedup_pipeline", "simhash_groups",
+    "minhash_lsh_pairs", "winnow_jaccard", "dedup_pipeline",
+    "connected_components", "simhash_groups",
     "cosine_pairs", "cosine_topk_ivf", "cosine_topk_ivf_expr",
     "control_tokenhash",
 )
