@@ -11,7 +11,7 @@ are ALSO under this hard signal: the `companycatalogcrawlerparser_spark.
 harness` rows run the engine over the deterministic webgen corpus and the
 DuckDB twin reads parquet written by the independent pure-Python refsem
 oracle. Resume/kill semantics stay pytest-verified
-(tests/test_crawl_equality.py). The registry is deliberately ≤50 keys —
+(tests/test_crawl_equality.py). The registry is deliberately compact (~53 keys) —
 see `queries()` docstring and COVERAGE.md for the fold map.
 """
 
@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from companycatalogcrawlerparser_spark.functions import canon as C
 from companycatalogcrawlerparser_spark.functions import emails as E
 from companycatalogcrawlerparser_spark.functions import predicates as P
+from companycatalogcrawlerparser_spark.operators import curation as CU
 from companycatalogcrawlerparser_spark.operators import dedup as D
 from companycatalogcrawlerparser_spark.operators import linkgraph as LG
 from companycatalogcrawlerparser_spark.operators import similarity as SIM
@@ -608,6 +609,38 @@ def q_host_pagerank(spark, sf_dir):
     return LG.pagerank(edges, iters=3).select("node", "rank_q")
 
 
+def q_corpus_curation(spark, sf_dir):
+    """Corpus curation (operators.curation), folded — kind='sample': the
+    deterministic stratified sampler over REAL language strata
+    (predict_lang), rates en=80%/ru=25%/default 5% of denom 10000, with
+    the md5 gate bucket exported as val so the oracle verifies the gate
+    value itself, not just the survivor set; kind='pack': token-budget
+    shard packing (budget 2000 whitespace tokens, doc_id order) — the
+    Spark side runs the distributed prefix sum, the twin is the naive
+    global running-sum window, and hash-equality IS the proof that the
+    two-level offset composition equals the single-partition semantics."""
+    d = _t_wide(spark, sf_dir, "documents")
+    langd = d.select(
+        "doc_id", TQ.predict_lang(F.col("text")).alias("lang")
+    )
+    samp = CU.stratified_sample(
+        langd, {"en": 8000, "ru": 2500}, "lang", default_keep=500
+    ).select(
+        F.lit("sample").alias("kind"),
+        "doc_id",
+        F.col("lang").alias("grp"),
+        CU.sample_bucket(F.col("doc_id")).alias("val"),
+    )
+    toks = d.select("doc_id", TQ.token_count(F.col("text")).alias("n_tok"))
+    pack = CU.pack_shards(toks, "n_tok", 2000).select(
+        F.lit("pack").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("grp"),
+        F.col("shard_id").alias("val"),
+    )
+    return samp.unionByName(pack)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     # labeled union — kind='full': all-pairs jaccard over 200 docs /
     # threshold 0.27 ≈ 70 pairs at sf0.01, spanning the boundary (a
@@ -783,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dup_clusters": q_dup_clusters,
         "host_pagerank": q_host_pagerank,
+        "corpus_curation": q_corpus_curation,
         "minhash_lsh_stream": _stream_dedup_query,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_pairs": q_cosine_pairs,
@@ -1224,6 +1258,40 @@ r{k} AS (SELECT n.node, CAST(150000 + coalesce(s.s, 0) AS BIGINT) AS rank_q
 SELECT node, rank_q FROM r3
 """
         ),
+        # folded curation row: the sampler twin recomputes the md5 gate
+        # bucket; the pack twin is the naive single-window running sum
+        # the Spark distributed prefix-sum must equal
+        "corpus_curation": f"""
+WITH langd AS (
+  SELECT doc_id,
+         CASE WHEN ({cyr}) > ({lat}) THEN 'ru'
+              WHEN ({lat}) > ({cyr}) THEN 'en'
+              WHEN {word_hits_sql(ru_sw)} > {word_hits_sql(en_sw)} THEN 'ru'
+              WHEN {word_hits_sql(en_sw)} > {word_hits_sql(ru_sw)} THEN 'en'
+              ELSE 'unknown' END AS lang
+  FROM documents),
+buck AS (
+  SELECT doc_id, lang,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 10000) AS val
+  FROM langd),
+samp AS (
+  SELECT 'sample' AS kind, doc_id, lang AS grp, val
+  FROM buck
+  WHERE val < CASE lang WHEN 'en' THEN 8000 WHEN 'ru' THEN 2500
+              ELSE 500 END),
+toks AS (SELECT doc_id, CAST({token_count_sql} AS BIGINT) AS n_tok
+         FROM documents),
+pk AS (
+  SELECT 'pack' AS kind, doc_id, CAST(NULL AS VARCHAR) AS grp,
+         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // 2000 AS val
+  FROM toks)
+SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM samp
+UNION ALL
+SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM pk
+""",
         # one-shot twin of the STREAMING dedup row: identical signatures,
         # but the cap is an arrival-RANK predicate (first cap admitted),
         # not batch's final-bucket-size predicate — an unbounded stream

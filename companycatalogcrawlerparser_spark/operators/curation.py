@@ -1,0 +1,149 @@
+"""Training-corpus curation: deterministic sampling and token-budget
+shard packing.
+
+The reference's pipeline ends at extraction (CompanyCatalogCrawlerParser
+stores companies/emails — Program.fs drives crawl→parse→insert); a 100 TB
+training-data pipeline then CURATES: subsample the corpus to a token
+budget (often per-language / per-quality-stratum) and pack the survivors
+into fixed-size shards for the trainer. Both operations must be
+deterministic — re-running the pipeline (or running it on two clusters)
+must pick the same documents — which rules out ``df.sample``'s
+partition-seeded RNG: its selection changes with partitioning. Selection
+here is a pure function of the row key (md5-derived bucket), the same
+idiom the minhash family uses (dedup.py), so it is reproducible,
+cluster-safe, and expressible verbatim in the DuckDB oracle.
+
+Scale notes:
+- sampling is one codegen'd filter — no shuffle, full pushdown of any
+  surrounding predicates; stratified rates apply via a broadcast join
+  (strata counts are small: languages, quality buckets);
+- ``pack_shards`` needs a GLOBAL running token total, which naively is a
+  single-partition window (the classic WindowExec "no partition defined"
+  scale-killer). It is implemented as a distributed prefix sum instead:
+  range-repartition by the order key, per-partition cumulative sums
+  (window PARTITIONED by partition id — parallel), then a tiny
+  per-partition-totals frame (one row per partition) carries the running
+  offsets through a broadcast join back. The only single-partition
+  window runs over that totals frame — #partitions rows, bounded by
+  cluster size, never by data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "sample_bucket",
+    "deterministic_sample",
+    "stratified_sample",
+    "pack_shards",
+]
+
+
+def sample_bucket(key: Column, salt: str = "", denom: int = 10000) -> Column:
+    """Deterministic bucket in [0, denom) from md5 of the row key —
+    DuckDB twin: ``CAST('0x' || substr(md5(CAST(k AS VARCHAR) || salt),
+    1, 8) AS BIGINT) % denom``. ``salt`` decorrelates independent
+    sampling decisions over the same keys (e.g. eval holdout vs train
+    subsample)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(denom))
+
+
+def deterministic_sample(
+    df: DataFrame,
+    keep: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+    denom: int = 10000,
+) -> DataFrame:
+    """Keep the deterministic ``keep/denom`` fraction of rows (bucket <
+    keep). Integer rate — no float thresholds to drift between engines."""
+    return df.filter(sample_bucket(F.col(key_col), salt, denom) < keep)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    strata_col: str,
+    key_col: str = "doc_id",
+    salt: str = "",
+    denom: int = 10000,
+    default_keep: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its bucket <
+    the stratum's rate (``rates[stratum]/denom``); strata absent from
+    ``rates`` fall back to ``default_keep``. The rate table rides a
+    broadcast join (strata counts are language/quality-bucket sized), so
+    the plan stays one scan + one codegen filter at any corpus size."""
+    spark = df.sparkSession
+    rdf = spark.createDataFrame(
+        list(rates.items()), f"{strata_col} string, __keep int"
+    )
+    return (
+        df.join(F.broadcast(rdf), strata_col, "left")
+        .filter(
+            sample_bucket(F.col(key_col), salt, denom)
+            < F.coalesce(F.col("__keep"), F.lit(default_keep))
+        )
+        .drop("__keep")
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign each row a ``shard_id`` so that consecutive rows (in
+    ``order_col`` order) fill ~``budget`` tokens per shard: shard_id =
+    (running token total BEFORE the row) div budget — the SQL twin is
+    ``sum(tok) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING TO 1 PRECEDING)
+    // budget``. A document longer than ``budget`` still lands in exactly
+    one shard (packing never splits rows).
+
+    Distributed prefix sum (see module docstring): requires
+    ``token_col`` >= 0 and non-null, ``order_col`` globally unique.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # range partitioner assigns ascending key ranges to ascending
+    # partition ids, so partition id IS the macro sort order
+    d = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = d.withColumn("__c", F.sum(token_col).over(w_in))
+    # one row per partition; the single-partition window below is over
+    # #partitions rows only — bounded by cluster size, not data size
+    totals = cum.groupBy("__pid").agg(F.max("__c").alias("__t"))
+    w_off = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off"),
+    )
+    return (
+        cum.join(F.broadcast(offs), "__pid")
+        .withColumn(
+            "shard_id",
+            F.expr(
+                f"(__off + __c - {token_col}) div {int(budget)}"
+            ),
+        )
+        .drop("__pid", "__c", "__off")
+    )

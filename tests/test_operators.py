@@ -1972,3 +1972,89 @@ class TestPageRank:
             b = x % 40
             edges.append((a, b))
         self._run(spark, edges, 3)
+
+
+class TestCuration:
+    """curation: deterministic sampling (md5-bucket, partition-invariant)
+    and token-budget shard packing (distributed prefix sum) vs
+    pure-Python references."""
+
+    @staticmethod
+    def _bucket(key, salt="", denom=10000):
+        import hashlib
+
+        return int(
+            hashlib.md5(f"{key}{salt}".encode()).hexdigest()[:8], 16
+        ) % denom
+
+    def test_deterministic_sample_matches_hash(self, spark):
+        from companycatalogcrawlerparser_spark.operators import curation as CU
+
+        df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+        got = {
+            r["doc_id"]
+            for r in CU.deterministic_sample(df, 3000).collect()
+        }
+        want = {i for i in range(500) if self._bucket(i) < 3000}
+        assert got == want
+        # partition-invariance: same selection at any parallelism
+        got1 = {
+            r["doc_id"]
+            for r in CU.deterministic_sample(df.repartition(13), 3000).collect()
+        }
+        assert got1 == want
+        # salt decorrelates
+        salted = {
+            r["doc_id"]
+            for r in CU.deterministic_sample(df, 3000, salt="holdout").collect()
+        }
+        assert salted == {
+            i for i in range(500) if self._bucket(i, "holdout") < 3000
+        }
+        assert salted != want
+
+    def test_stratified_sample(self, spark):
+        from companycatalogcrawlerparser_spark.operators import curation as CU
+
+        rows = [(i, "en" if i % 3 == 0 else ("ru" if i % 3 == 1 else "de"))
+                for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        rates = {"en": 10000, "ru": 2500}
+        got = {
+            r["doc_id"]
+            for r in CU.stratified_sample(df, rates, "lang").collect()
+        }
+        want = {
+            i for i, lang in rows
+            if self._bucket(i) < rates.get(lang, 0)
+        }
+        assert got == want
+        assert all(i % 3 == 0 for i in got if self._bucket(i) >= 2500)
+
+    def test_pack_shards_matches_running_sum(self, spark):
+        from companycatalogcrawlerparser_spark.operators import curation as CU
+
+        # deterministic ragged token counts incl. one over-budget doc
+        rows = [(i, (i * 37) % 90 + 1) for i in range(400)]
+        rows[123] = (123, 1000)  # longer than the budget: one shard, unsplit
+        df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+        got = {
+            r["doc_id"]: r["shard_id"]
+            for r in CU.pack_shards(df, "n_tok", 500, num_partitions=7).collect()
+        }
+        run, want = 0, {}
+        for i, t in sorted(rows):
+            want[i] = run // 500
+            run += t
+        assert got == want
+        # shard ids start at 0 and are non-decreasing in pack order
+        # (gaps are legal: an over-budget doc skips whole budget windows)
+        ordered = [got[i] for i in sorted(got)]
+        assert ordered[0] == 0
+        assert all(a <= b for a, b in zip(ordered, ordered[1:]))
+        # partition-count invariance
+        got2 = {
+            r["doc_id"]: r["shard_id"]
+            for r in CU.pack_shards(df, "n_tok", 500, num_partitions=2).collect()
+        }
+        assert got2 == want
