@@ -11,7 +11,7 @@ are ALSO under this hard signal: the `companycatalogcrawlerparser_spark.
 harness` rows run the engine over the deterministic webgen corpus and the
 DuckDB twin reads parquet written by the independent pure-Python refsem
 oracle. Resume/kill semantics stay pytest-verified
-(tests/test_crawl_equality.py). The registry is deliberately compact (~53 keys) —
+(tests/test_crawl_equality.py). The registry is deliberately compact (54 keys) —
 see `queries()` docstring and COVERAGE.md for the fold map.
 """
 
