@@ -130,7 +130,8 @@ def _task_action(spark, task: str, data_dir: str):
     docs = vecs = None
     if task in ("minhash_lsh_pairs", "winnow_jaccard", "simhash_groups",
                 "exact_dedup", "text_metrics", "control_tokenhash",
-                "dedup_pipeline", "stream_dedup", "connected_components"):
+                "dedup_pipeline", "stream_dedup", "connected_components",
+                "pagerank", "curation"):
         docs = spark.read.parquet(f"{data_dir}/documents").persist()
         n_in = docs.count()
     else:
@@ -220,6 +221,57 @@ def _task_action(spark, task: str, data_dir: str):
             ).first()
             return {"rows_out": int(got[0]), "n_components": int(got[1]),
                     "n_edges": n_edges}
+    elif task == "pagerank":
+        # same 1M-node chain+random graph as the connected_components
+        # task; 3 fixed-point power rounds. rank_sum is the cross-core
+        # bit-stability check (integer arithmetic: must match exactly).
+        from companycatalogcrawlerparser_spark.operators import (
+            linkgraph as LGR,
+        )
+
+        i = F.col("doc_id")
+        chain = docs.filter(F.pmod(i, F.lit(128)) < 100).select(
+            i.alias("src"), (i + 1).alias("dst")
+        )
+        rnd = docs.filter(i % 4 == 0).select(
+            i.alias("src"),
+            F.pmod(F.xxhash64(i), F.lit(n_in)).alias("dst"),
+        )
+        edges = chain.unionByName(rnd).persist()
+        n_edges = edges.count()
+
+        def run():
+            pr = LGR.pagerank(edges, iters=3)
+            got = pr.agg(F.count("*"), F.sum("rank_q")).first()
+            return {"rows_out": int(got[0]), "rank_sum": int(got[1]),
+                    "n_edges": n_edges}
+    elif task == "curation":
+        # stratified sample (predict_lang strata over the full corpus —
+        # regex scan + md5 gate, shuffle-free) THEN token-budget packing
+        # of the survivors (distributed prefix sum); kept_tokens is the
+        # cross-core bit-stability check.
+        from companycatalogcrawlerparser_spark.operators import (
+            curation as CUR,
+        )
+        from companycatalogcrawlerparser_spark.operators import (
+            textquality as TQR,
+        )
+
+        def run():
+            langd = docs.select(
+                "doc_id",
+                TQR.predict_lang(F.col("text")).alias("lang"),
+                TQR.token_count(F.col("text")).alias("n_tok"),
+            )
+            kept = CUR.stratified_sample(
+                langd, {"en": 8000, "ru": 2500}, "lang", default_keep=500
+            )
+            packed = CUR.pack_shards(kept, "n_tok", 100_000)
+            got = packed.agg(
+                F.count("*"), F.sum("n_tok"), F.max("shard_id")
+            ).first()
+            return {"rows_out": int(got[0]), "kept_tokens": int(got[1]),
+                    "n_shards": int(got[2]) + 1}
     elif task == "simhash_groups":
         def run():
             return {"rows_out": D.simhash_groups(docs).count()}
@@ -419,7 +471,7 @@ def run_one(task: str, cores: int, data_dir: str, best_of: int,
 
 DEFAULT_TASKS = (
     "minhash_lsh_pairs", "winnow_jaccard", "dedup_pipeline",
-    "connected_components", "simhash_groups",
+    "connected_components", "pagerank", "curation", "simhash_groups",
     "cosine_pairs", "cosine_topk_ivf", "cosine_topk_ivf_expr",
     "control_tokenhash",
 )
