@@ -185,6 +185,7 @@ FOLDED_KINDS = {
     "ann_lsh": ["lsh", "ivf", "ivf_arrow"],
     "events_windows": ["window", "audit"],
     "warc_ingest": ["whole", "ranged", "indexed"],
+    "corpus_curation": ["sample", "pack"],
 }
 
 
@@ -203,6 +204,12 @@ def run_query_bench(spark, sf_dir: str, per_kind: bool = False) -> dict:
         # Its measured-performance story is the XL stream_dedup task
         # (tools/bench_dedup_xl.py: parquet sink, 250k docs, 8 vs 32c).
         "simhash_groups",
+        # r6 rows: CC clustering runs its star-contraction fixpoint and
+        # host_pagerank its 3 power rounds while CONSTRUCTING the frame
+        # (eager localCheckpoints) — their cost shows as build time
+        "dup_clusters",
+        "host_pagerank",
+        "corpus_curation",
         "ann_bruteforce",
         "ann_lsh",
         "text_metrics",
