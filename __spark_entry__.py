@@ -549,23 +549,60 @@ def q_chunk_yield(spark, sf_dir):
 # ---- training-data ops over documents/embeddings ---------------------------
 
 
-def q_dedup_exact(spark, sf_dir):
+def q_dedup_groups(spark, sf_dir):
+    """Folded row (registry cap — see COVERAGE.md): kind='exact' is the
+    exact_dedup survivor set (one row per distinct normalized-text md5,
+    min doc_id wins; sig = content_hash); kind='simhash' is the per-doc
+    16-bit SimHash signature plus its bucket stats (n_docs + min_id per
+    signature via a window — bounded, never a collected id list). Each
+    kind keeps its own SQL twin inside the union."""
     d = _t_wide(spark, sf_dir, "documents")
-    return D.exact_dedup(d).select("doc_id", "content_hash")
+    exact = D.exact_dedup(d).select(
+        F.lit("exact").alias("kind"),
+        "doc_id",
+        F.col("content_hash").alias("sig"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("ref_id"),
+    )
+    ssig = d.select("doc_id", D.simhash16(F.col("text")).alias("simhash"))
+    w = Window.partitionBy("simhash")
+    sim = ssig.select(
+        F.lit("simhash").alias("kind"),
+        "doc_id",
+        F.col("simhash").alias("sig"),
+        F.count("*").over(w).cast("long").alias("n_docs"),
+        F.min("doc_id").over(w).alias("ref_id"),
+    )
+    return exact.unionByName(sim)
 
 
-def q_minhash_signature(spark, sf_dir):
+def q_minhash(spark, sf_dir):
+    """Folded row (registry cap): kind='sig' unpivots the 4-hash MinHash
+    signature to (doc_id, seed_index, value) so every signature value is
+    individually hash-verified; kind='pairs' is the banded-LSH candidate
+    pair set (8 hashes / 4 bands, skew cap 256) — the scale path's
+    candidate generator under the same signal."""
     d = _t_wide(spark, sf_dir, "documents")
-    sig = D.minhash_signature(d, num_hashes=4)
-    return sig.select("doc_id", "mh_0", "mh_1", "mh_2", "mh_3")
+    sig = D.minhash_signature(d, num_hashes=4).selectExpr(
+        "doc_id",
+        "stack(4, 0L, mh_0, 1L, mh_1, 2L, mh_2, 3L, mh_3) AS (seed, mh)",
+    )
+    sigk = sig.select(
+        F.lit("sig").alias("kind"),
+        F.col("doc_id").alias("id_a"),
+        F.col("seed").alias("id_b"),
+        F.col("mh").cast("long").alias("val"),
+    )
+    pairs = D.minhash_lsh_pairs(d, num_hashes=8, bands=4).select(
+        F.lit("pairs").alias("kind"),
+        "id_a",
+        "id_b",
+        F.lit(None).cast("long").alias("val"),
+    )
+    return sigk.unionByName(pairs)
 
 
-def q_minhash_lsh_pairs(spark, sf_dir):
-    d = _t_wide(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(d, num_hashes=8, bands=4)
-
-
-def q_dup_clusters(spark, sf_dir):
+def q_graph_ops(spark, sf_dir):
     """Near-dup pairs → connected components → one survivor per cluster.
 
     Pairs alone over-drop transitive chains (a-b, b-c drops both b AND c
@@ -581,24 +618,28 @@ def q_dup_clusters(spark, sf_dir):
     an artifact of fixture size — a real LSH candidate graph is sparse.
     The filter chain-ifies it into long transitive paths, the adversarial
     case for star contraction (multi-round convergence) and exactly the
-    over-drop shape per-pair dedup gets wrong."""
+    over-drop shape per-pair dedup gets wrong.
+
+    Folded with kind='pr' (registry cap): link-graph PageRank
+    (operators.linkgraph.pagerank) — crawl-quality centrality over a
+    deterministic 499-node digraph derived from the events table
+    (u = event_id mod 499, v = (event_id div 7 + user_id*13) mod 499 —
+    integer-only so both engines build the exact same edge set).
+    Fixed-point integer power iteration (scale 1e6, d = 85/100,
+    3 rounds) makes the ranks bit-identical across partitionings and
+    engines — the oracle is the same recurrence unrolled as three SQL
+    passes. Engine-new vs the reference (no link table in DbManager.fs);
+    the 100 TB role is corpus weighting."""
     d = _t_wide(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     pairs = D.minhash_lsh_pairs(d, num_hashes=8, bands=4).filter(
         F.col("id_b") - F.col("id_a") <= 5
     )
-    return D.dedup_clusters(d, pairs).select("doc_id", "cluster_id", "is_rep")
-
-
-def q_host_pagerank(spark, sf_dir):
-    """Link-graph PageRank (operators.linkgraph.pagerank): crawl-quality
-    centrality over a deterministic 499-node digraph derived from the
-    events table (u = event_id mod 499, v = (event_id div 7 +
-    user_id*13) mod 499 — integer-only so both engines build the exact
-    same edge set). Fixed-point integer power iteration (scale 1e6,
-    d = 85/100, 3 rounds) makes the ranks bit-identical across
-    partitionings and engines — the oracle is the same recurrence
-    unrolled as three SQL passes. Engine-new vs the reference (no link
-    table in DbManager.fs); the 100 TB role is corpus weighting."""
+    cc = D.dedup_clusters(d, pairs).select(
+        F.lit("cc").alias("kind"),
+        F.col("doc_id").alias("id"),
+        F.col("cluster_id").alias("val"),
+        F.col("is_rep").cast("long").alias("aux"),
+    )
     ev = _t(spark, sf_dir, "events")
     edges = ev.select(
         (F.col("event_id") % 499).alias("src"),
@@ -606,7 +647,13 @@ def q_host_pagerank(spark, sf_dir):
             "dst"
         ),
     )
-    return LG.pagerank(edges, iters=3).select("node", "rank_q")
+    pr = LG.pagerank(edges, iters=3).select(
+        F.lit("pr").alias("kind"),
+        F.col("node").alias("id"),
+        F.col("rank_q").alias("val"),
+        F.lit(None).cast("long").alias("aux"),
+    )
+    return cc.unionByName(pr)
 
 
 def q_corpus_curation(spark, sf_dir):
@@ -641,40 +688,39 @@ def q_corpus_curation(spark, sf_dir):
     return samp.unionByName(pack)
 
 
-def q_ngram_jaccard(spark, sf_dir):
+def q_neardup_pairs(spark, sf_dir):
     # labeled union — kind='full': all-pairs jaccard over 200 docs /
     # threshold 0.27 ≈ 70 pairs at sf0.01, spanning the boundary (a
     # handful of ~0.97 near-dups + a 0.27-0.30 tail), wide enough that
     # the hash row pins the jaccard arithmetic; kind='winnow': the SCALE
     # pipeline winnow_pairs → jaccard_verify over the same docs (winnow
     # local-min sketch + candidate-restricted verification), twinned in
-    # SQL via a rolling-min window — both stages under the hard signal
+    # SQL via a rolling-min window — both stages under the hard signal;
+    # kind='cosine' (folded here for the registry cap): embedding
+    # near-dup pairs — hyperplane-LSH buckets → exact cosine ≥ 0.3 with
+    # the max_bucket skew cap (operators.similarity.cosine_pairs); the
+    # DuckDB twin recomputes the same plane signatures from shared
+    # constants and applies the same cap. threshold 0.3: the synthetic
+    # embeddings are near-isotropic (max in-bucket cosine ≈ 0.47), so
+    # 0.3 yields a non-vacuous pair set.
     d = _t_wide(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     full = D.ngram_jaccard_pairs(d, threshold=0.27).select(
         F.lit("full").alias("kind"), "id_a", "id_b",
-        F.round("jaccard", 6).alias("jaccard"),
+        F.round("jaccard", 6).alias("sim"),
     )
     cand = D.winnow_pairs(d, min_shared=5).select("id_a", "id_b")
     winnow = D.jaccard_verify(d, cand, threshold=0.27).select(
         F.lit("winnow").alias("kind"), "id_a", "id_b",
-        F.round("jaccard", 6).alias("jaccard"),
+        F.round("jaccard", 6).alias("sim"),
     )
-    return full.unionByName(winnow)
-
-
-def q_simhash_groups(spark, sf_dir):
-    """SimHash per-doc signature + its near-dup group stats (bounded:
-    n_docs + min_id per bucket via a window, never a collected id list —
-    mirrors operators.dedup.simhash_groups / simhash_members)."""
-    d = _t_wide(spark, sf_dir, "documents")
-    sig = d.select("doc_id", D.simhash16(F.col("text")).alias("simhash"))
-    w = Window.partitionBy("simhash")
-    return sig.select(
-        "doc_id",
-        "simhash",
-        F.count("*").over(w).cast("long").alias("n_docs"),
-        F.min("doc_id").over(w).alias("min_id"),
+    emb = _t(spark, sf_dir, "embeddings")
+    cosine = SIM.cosine_pairs(
+        emb, threshold=0.3, num_planes=6, dim=64, max_bucket=256
+    ).select(
+        F.lit("cosine").alias("kind"), "id_a", "id_b",
+        F.col("score").alias("sim"),
     )
+    return full.unionByName(winnow).unionByName(cosine)
 
 
 def q_text_metrics(spark, sf_dir):
@@ -693,19 +739,6 @@ def q_text_metrics(spark, sf_dir):
         feats["stopword_ratio"].alias("stopword_ratio"),
         TQ.quality_score(F.col("text")).alias("quality"),
         TQ.fingerprint(F.col("text")).alias("fp"),
-    )
-
-
-def q_cosine_pairs(spark, sf_dir):
-    """Embedding near-dup pairs: hyperplane-LSH buckets → exact cosine ≥
-    threshold, with the max_bucket skew cap (operators.similarity
-    .cosine_pairs); the DuckDB twin recomputes the same plane signatures
-    from shared constants and applies the same cap."""
-    emb = _t(spark, sf_dir, "embeddings")
-    # threshold 0.3: the synthetic embeddings are near-isotropic (max
-    # in-bucket cosine ≈ 0.47), so 0.3 yields a non-vacuous pair set
-    return SIM.cosine_pairs(
-        emb, threshold=0.3, num_planes=6, dim=64, max_bucket=256
     )
 
 
@@ -809,17 +842,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # refsem oracle parquet) — companycatalogcrawlerparser_spark.harness
         **_crawl_harness_queries(),
         # training-data ops (heaviest rows last)
-        "dedup_exact": q_dedup_exact,
+        "dedup_groups": q_dedup_groups,
         "text_metrics": q_text_metrics,
-        "simhash_groups": q_simhash_groups,
-        "minhash_signature": q_minhash_signature,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "dup_clusters": q_dup_clusters,
-        "host_pagerank": q_host_pagerank,
+        "minhash": q_minhash,
+        "graph_ops": q_graph_ops,
         "corpus_curation": q_corpus_curation,
         "minhash_lsh_stream": _stream_dedup_query,
-        "ngram_jaccard": q_ngram_jaccard,
-        "cosine_pairs": q_cosine_pairs,
+        "neardup_pairs": q_neardup_pairs,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
     }
@@ -1164,21 +1193,30 @@ a6 AS (SELECT 'a6' AS kind, CAST(company_id % 10 AS BIGINT) AS chunk_id,
        FROM fe GROUP BY 2)
 SELECT * FROM o6 UNION ALL SELECT * FROM a6
 """,
-        "dedup_exact": f"""
+        # folded (registry cap): exact-dedup survivors + simhash groups,
+        # each kind the exact SQL its standalone row carried
+        "dedup_groups": f"""
 WITH h AS (SELECT doc_id, md5({norm_text}) AS content_hash FROM documents),
 r AS (SELECT doc_id, content_hash,
-             row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn FROM h)
-SELECT doc_id, content_hash FROM r WHERE rn = 1
+             row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn FROM h),
+toks AS (
+  SELECT DISTINCT doc_id, token
+  FROM (SELECT doc_id, unnest(string_split({norm_text}, ' ')) AS token FROM documents)),
+ssig AS (SELECT doc_id, {simhash_bits} AS simhash FROM toks GROUP BY doc_id)
+SELECT 'exact' AS kind, doc_id, content_hash AS sig,
+       CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS ref_id
+FROM r WHERE rn = 1
+UNION ALL
+SELECT 'simhash' AS kind, doc_id, simhash AS sig,
+       count(*) OVER (PARTITION BY simhash) AS n_docs,
+       min(doc_id) OVER (PARTITION BY simhash) AS ref_id
+FROM ssig
 """,
-        "minhash_signature": f"""
-WITH sh AS ({shingle_src}),
-h AS (SELECT doc_id, {_mh_ha} AS ha, {_mh_hb} AS hb FROM sh)
-SELECT doc_id, {minhash_aggs(4)}
-FROM h GROUP BY doc_id
-""",
-        "minhash_lsh_pairs": f"""
+        # folded (registry cap): signature unpivot + banded-LSH pairs
+        "minhash": f"""
 WITH sh AS ({shingle_src}),
 h AS (SELECT doc_id, {_mh_ha} AS ha, {_mh_hb} AS hb FROM sh),
+sig4 AS (SELECT doc_id, {minhash_aggs(4)} FROM h GROUP BY doc_id),
 sig AS (SELECT doc_id, {minhash_aggs(8)} FROM h GROUP BY doc_id),
 banded AS (
   SELECT doc_id, 0 AS band,
@@ -1190,14 +1228,24 @@ banded AS (
 -- (same contract as the Spark operator's max_bucket)
 ok AS (SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 256),
 capped AS (SELECT banded.* FROM banded JOIN ok USING (band, key))
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+SELECT 'sig' AS kind, doc_id AS id_a, CAST(0 AS BIGINT) AS id_b,
+       CAST(mh_0 AS BIGINT) AS val FROM sig4
+UNION ALL SELECT 'sig', doc_id, 1, CAST(mh_1 AS BIGINT) FROM sig4
+UNION ALL SELECT 'sig', doc_id, 2, CAST(mh_2 AS BIGINT) FROM sig4
+UNION ALL SELECT 'sig', doc_id, 3, CAST(mh_3 AS BIGINT) FROM sig4
+UNION ALL
+SELECT DISTINCT 'pairs', a.doc_id, b.doc_id, CAST(NULL AS BIGINT)
 FROM capped a JOIN capped b
   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 """,
         # connected components over the LSH pair graph: recursive
         # min-label propagation (node, comp) until fixpoint — the SQL
         # twin of the alternating large-star/small-star Spark operator
-        "dup_clusters": f"""
+        # folded (registry cap): kind='cc' recursive min-label CC,
+        # kind='pr' fixed-point PageRank — the Spark power iteration
+        # unrolled as three SQL passes; integer arithmetic
+        # ((r*85) // (100*deg)) makes every intermediate bit-identical
+        "graph_ops": f"""
 WITH RECURSIVE sh AS (
   SELECT doc_id, substring({norm_text}, i, 5) AS shingle
   FROM (SELECT doc_id, text FROM documents WHERE doc_id < 300) AS documents,
@@ -1227,37 +1275,35 @@ reach AS (
   UNION
   SELECT e.v AS node, r.comp AS comp FROM reach r JOIN edges e ON e.u = r.node
 ),
-cc AS (SELECT node, min(comp) AS component FROM reach GROUP BY node)
-SELECT d.doc_id,
-       coalesce(cc.component, d.doc_id) AS cluster_id,
-       d.doc_id = coalesce(cc.component, d.doc_id) AS is_rep
-FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
-WHERE d.doc_id < 300
-""",
-        # fixed-point PageRank: the Spark power iteration unrolled as
-        # three SQL passes — integer arithmetic ((r*85) // (100*deg))
-        # makes every intermediate bit-identical to the engine's
-        "host_pagerank": (
-            """
-WITH e AS (SELECT DISTINCT event_id % 499 AS u,
-                  (event_id // 7 + user_id * 13) % 499 AS v FROM events),
-nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+cc AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+e AS (SELECT DISTINCT event_id % 499 AS u,
+             (event_id // 7 + user_id * 13) % 499 AS v FROM events),
+-- explicit DISTINCT: under WITH RECURSIVE DuckDB gives bare UNION in a
+-- CTE body recursive-union semantics and stops deduplicating it
+nodes AS (SELECT DISTINCT node
+          FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) un),
 outdeg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
 r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_q FROM nodes)"""
-            + "".join(
-                f""",
+        + "".join(
+            f""",
 r{k} AS (SELECT n.node, CAST(150000 + coalesce(s.s, 0) AS BIGINT) AS rank_q
         FROM nodes n LEFT JOIN (
           SELECT e.v AS node, sum((r.rank_q * 85) // (100 * o.deg)) AS s
           FROM e JOIN r{k - 1} r ON r.node = e.u
                  JOIN outdeg o ON o.u = e.u
           GROUP BY e.v) s ON s.node = n.node)"""
-                for k in (1, 2, 3)
-            )
-            + """
-SELECT node, rank_q FROM r3
-"""
-        ),
+            for k in (1, 2, 3)
+        )
+        + """
+SELECT 'cc' AS kind, d.doc_id AS id,
+       coalesce(cc.component, d.doc_id) AS val,
+       CAST(d.doc_id = coalesce(cc.component, d.doc_id) AS BIGINT) AS aux
+FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+WHERE d.doc_id < 300
+UNION ALL
+SELECT 'pr' AS kind, node AS id, rank_q AS val,
+       CAST(NULL AS BIGINT) AS aux FROM r3
+""",
         # folded curation row: the sampler twin recomputes the md5 gate
         # bucket; the pack twin is the naive single-window running sum
         # the Spark distributed prefix-sum must equal
@@ -1318,7 +1364,8 @@ FROM ranked a JOIN ranked b
   ON a.band = b.band AND a.key = b.key AND a.rk < b.rk
  AND b.rk <= {_H.STREAM_DEDUP_CAP}
 """,
-        "ngram_jaccard": f"""
+        # folded (registry cap): jaccard full/winnow + embedding cosine
+        "neardup_pairs": f"""
 WITH docs AS (SELECT * FROM documents WHERE doc_id < 200),
 sh AS (SELECT DISTINCT doc_id, substring({norm_text}, i, 5) AS shingle
        FROM docs, LATERAL unnest(generate_series(1, greatest(length({norm_text}) - 4, 1))) AS u(i)),
@@ -1342,21 +1389,14 @@ fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= greatest(n_grams - 3, 1)
 cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 5)
-SELECT 'full' AS kind, id_a, id_b, jaccard FROM jac WHERE raw >= 0.27
+SELECT 'full' AS kind, id_a, id_b, jaccard AS sim FROM jac WHERE raw >= 0.27
 UNION ALL
-SELECT 'winnow' AS kind, jac.id_a, jac.id_b, jaccard
+SELECT 'winnow' AS kind, jac.id_a, jac.id_b, jaccard AS sim
 FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
 WHERE raw >= 0.27
-""",
-        "simhash_groups": f"""
-WITH toks AS (
-  SELECT DISTINCT doc_id, token
-  FROM (SELECT doc_id, unnest(string_split({norm_text}, ' ')) AS token FROM documents)),
-sig AS (SELECT doc_id, {simhash_bits} AS simhash FROM toks GROUP BY doc_id)
-SELECT doc_id, simhash,
-       count(*) OVER (PARTITION BY simhash) AS n_docs,
-       min(doc_id) OVER (PARTITION BY simhash) AS min_id
-FROM sig
+UNION ALL
+SELECT 'cosine' AS kind, id_a, id_b, score AS sim
+FROM ({_cosine_pairs_oracle_sql()}) cz
 """,
         "text_metrics": f"""
 WITH m AS (SELECT doc_id, text,
@@ -1388,7 +1428,6 @@ SELECT doc_id,
        md5({norm_text}) AS fp
 FROM f
 """,
-        "cosine_pairs": _cosine_pairs_oracle_sql(),
         "ann_bruteforce": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
 scored AS (
