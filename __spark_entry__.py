@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from companycatalogcrawlerparser_spark.functions import canon as C
 from companycatalogcrawlerparser_spark.functions import emails as E
 from companycatalogcrawlerparser_spark.functions import predicates as P
+from companycatalogcrawlerparser_spark.operators import contamination as CT
 from companycatalogcrawlerparser_spark.operators import curation as CU
 from companycatalogcrawlerparser_spark.operators import dedup as D
 from companycatalogcrawlerparser_spark.operators import linkgraph as LG
@@ -720,7 +721,22 @@ def q_neardup_pairs(spark, sf_dir):
         F.lit("cosine").alias("kind"), "id_a", "id_b",
         F.col("score").alias("sim"),
     )
-    return full.unionByName(winnow).unionByName(cosine)
+    # kind='contam' (r6): benchmark decontamination — per-doc overlap
+    # ratio of the same docs' 8-shingles vs a disjoint "benchmark" slice
+    # (doc_id 400-499), broadcast bench side; sim = overlap in [0,1],
+    # id_b = NULL (a doc-vs-corpus decoration, not a pair)
+    bench = _t_wide(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") >= 400) & (F.col("doc_id") < 500)
+    )
+    contam = CT.contamination_scores(d, bench, k=8).select(
+        F.lit("contam").alias("kind"),
+        F.col("doc_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.col("overlap").alias("sim"),
+    )
+    return (
+        full.unionByName(winnow).unionByName(cosine).unionByName(contam)
+    )
 
 
 def q_text_metrics(spark, sf_dir):
@@ -1388,7 +1404,19 @@ wmin AS (SELECT doc_id, i, n_grams,
 fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= greatest(n_grams - 3, 1)),
 cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         GROUP BY 1, 2 HAVING count(*) >= 5)
+         GROUP BY 1, 2 HAVING count(*) >= 5),
+-- contamination twin: same normalized text, k=8 substring shingles,
+-- distinct per doc; bench = the doc_id 400-499 slice; overlap =
+-- |doc ∩ bench| / |doc| (zero-overlap docs kept via LEFT JOIN)
+csh AS (SELECT DISTINCT doc_id, substring({norm_text}, i, 8) AS shingle
+        FROM docs, LATERAL unnest(generate_series(1, greatest(length({norm_text}) - 7, 1))) AS u(i)),
+cbench AS (SELECT DISTINCT substring({norm_text}, i, 8) AS shingle
+           FROM (SELECT text FROM documents
+                 WHERE doc_id >= 400 AND doc_id < 500) AS documents,
+                LATERAL unnest(generate_series(1, greatest(length({norm_text}) - 7, 1))) AS u(i)),
+csz AS (SELECT doc_id, count(*) AS n_sh FROM csh GROUP BY doc_id),
+chit AS (SELECT csh.doc_id, count(*) AS n_hit
+         FROM csh JOIN cbench USING (shingle) GROUP BY csh.doc_id)
 SELECT 'full' AS kind, id_a, id_b, jaccard AS sim FROM jac WHERE raw >= 0.27
 UNION ALL
 SELECT 'winnow' AS kind, jac.id_a, jac.id_b, jaccard AS sim
@@ -1397,6 +1425,10 @@ WHERE raw >= 0.27
 UNION ALL
 SELECT 'cosine' AS kind, id_a, id_b, score AS sim
 FROM ({_cosine_pairs_oracle_sql()}) cz
+UNION ALL
+SELECT 'contam' AS kind, csz.doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+       round(coalesce(n_hit, 0) * 1.0 / n_sh, 6) AS sim
+FROM csz LEFT JOIN chit ON chit.doc_id = csz.doc_id
 """,
         "text_metrics": f"""
 WITH m AS (SELECT doc_id, text,

@@ -61,6 +61,17 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # degraded-host resilience: under heavy sys/steal contention the
+        # default 10s executor heartbeat can miss the 120s network-timeout
+        # window even in local mode, and the app kills itself mid-stage
+        # (observed on the sandbox VM: ~40-min XL legs dying inside a
+        # TableCacheQueryStage with the shutdown hook's blockmgr cleanup
+        # racing still-running tasks — temp_shuffle ENOENT). There is no
+        # real network in local mode, and on a cluster these are the same
+        # values we'd run on preemptible fleets: nothing legitimate
+        # expires in 600s that 120s would have caught.
+        .config("spark.executor.heartbeatInterval", "60s")
+        .config("spark.network.timeout", "600s")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
