@@ -131,7 +131,7 @@ def _task_action(spark, task: str, data_dir: str):
     if task in ("minhash_lsh_pairs", "winnow_jaccard", "simhash_groups",
                 "exact_dedup", "text_metrics", "control_tokenhash",
                 "dedup_pipeline", "stream_dedup", "connected_components",
-                "pagerank", "curation"):
+                "pagerank", "curation", "contamination"):
         docs = spark.read.parquet(f"{data_dir}/documents").persist()
         n_in = docs.count()
     else:
@@ -275,6 +275,26 @@ def _task_action(spark, task: str, data_dir: str):
     elif task == "simhash_groups":
         def run():
             return {"rows_out": D.simhash_groups(docs).count()}
+    elif task == "contamination":
+        # benchmark = a 1/1000 slice of the same corpus (~0.1%): the
+        # realistic size ratio (benchmarks are MBs, corpora TBs), and
+        # template-mates of the slice guarantee a non-trivial flagged set
+        def run():
+            from companycatalogcrawlerparser_spark.operators import (
+                contamination as CT,
+            )
+
+            bench = docs.filter(F.col("doc_id") % 1000 == 0)
+            scores = CT.contamination_scores(
+                docs, bench, k=8, threshold=0.5
+            )
+            got = scores.agg(
+                F.count("*"),
+                F.sum(F.col("contaminated").cast("long")),
+                F.sum("n_shared"),
+            ).first()
+            return {"rows_out": int(got[0]), "flagged": int(got[1]),
+                    "shared_shingles": int(got[2])}
     elif task == "exact_dedup":
         def run():
             return {"rows_out": D.exact_dedup(docs).count()}
@@ -471,7 +491,8 @@ def run_one(task: str, cores: int, data_dir: str, best_of: int,
 
 DEFAULT_TASKS = (
     "minhash_lsh_pairs", "winnow_jaccard", "dedup_pipeline",
-    "connected_components", "pagerank", "curation", "simhash_groups",
+    "connected_components", "pagerank", "curation", "contamination",
+    "simhash_groups",
     "cosine_pairs", "cosine_topk_ivf", "cosine_topk_ivf_expr",
     "control_tokenhash",
 )
