@@ -120,6 +120,16 @@ def pack_shards(
     d = df.repartitionByRange(n, F.col(order_col)).withColumn(
         "__pid", F.spark_partition_id()
     )
+    # __pid is a READ-side value: under AQE every consumer stage of the
+    # range shuffle makes its OWN partition-coalescing decision, so the
+    # two branches below (per-partition cumsum and the totals frame) can
+    # observe DIFFERENT __pid for the same row — the offsets then join
+    # against the wrong partitions and shard boundaries shift (caught by
+    # the XL bench's cross-core bit-stability check: n_shards 315 @8c vs
+    # 321 @32c on identical kept_tokens). Freeze __pid as DATA with an
+    # eager localCheckpoint before fanning out; coalesced range reads
+    # stay contiguous-ascending, so the prefix-sum math is unchanged.
+    d = d.localCheckpoint(eager=True)
     w_in = (
         Window.partitionBy("__pid")
         .orderBy(order_col)

@@ -2058,3 +2058,31 @@ class TestCuration:
             for r in CU.pack_shards(df, "n_tok", 500, num_partitions=2).collect()
         }
         assert got2 == want
+
+    def test_pack_shards_branch_consistent_at_volume(self, spark):
+        """Regression (r6 XL): __pid from spark_partition_id is a
+        READ-side value — without the in-operator localCheckpoint, AQE
+        let the cumsum branch and the totals branch coalesce the range
+        shuffle differently, shifting shard boundaries (n_shards 315 @8c
+        vs 321 @32c on identical kept_tokens at 1M docs). 50k rows is
+        enough for AQE to make real coalescing choices; the exact
+        expected shard count pins the global prefix-sum semantics."""
+        from companycatalogcrawlerparser_spark.operators import curation as CU
+        from pyspark.sql import functions as F
+
+        toks = [(i * 37) % 90 + 1 for i in range(50_000)]
+        df = spark.range(50_000).select(
+            F.col("id").alias("doc_id"),
+            ((F.col("id") * 37) % 90 + 1).alias("n_tok"),
+        )
+        budget = 1000
+        expected_last_shard = (sum(toks) - toks[-1]) // budget
+        for n_parts in (32, 3):
+            packed = CU.pack_shards(
+                df, "n_tok", budget, num_partitions=n_parts
+            )
+            got = packed.agg(
+                F.max("shard_id"), F.sum("n_tok"), F.count("*")
+            ).first()
+            assert got[0] == expected_last_shard, (n_parts, got)
+            assert (got[1], got[2]) == (sum(toks), 50_000)
