@@ -686,7 +686,17 @@ def q_corpus_curation(spark, sf_dir):
         F.lit(None).cast("string").alias("grp"),
         F.col("shard_id").alias("val"),
     )
-    return samp.unionByName(pack)
+    # kind='order' (r6-late): deterministic training shuffle — train_pos
+    # is the row's 0-based global position in md5(doc_id) order, computed
+    # by the pack_shards prefix sum (one token per row, budget 1), never
+    # a single-partition row_number window; the twin IS that naive window
+    order = CU.global_order_index(d.select("doc_id")).select(
+        F.lit("order").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("grp"),
+        F.col("train_pos").alias("val"),
+    )
+    return samp.unionByName(pack).unionByName(order)
 
 
 def q_neardup_pairs(spark, sf_dir):
@@ -1349,10 +1359,16 @@ pk AS (
          coalesce(sum(n_tok) OVER (ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            // 2000 AS val
-  FROM toks)
+  FROM toks),
+ord_ AS (
+  SELECT 'order' AS kind, doc_id, CAST(NULL AS VARCHAR) AS grp,
+         row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1 AS val
+  FROM documents)
 SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM samp
 UNION ALL
 SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM pk
+UNION ALL
+SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM ord_
 """,
         # one-shot twin of the STREAMING dedup row: identical signatures,
         # but the cap is an arrival-RANK predicate (first cap admitted),

@@ -185,7 +185,7 @@ FOLDED_KINDS = {
     "ann_lsh": ["lsh", "ivf", "ivf_arrow"],
     "events_windows": ["window", "audit"],
     "warc_ingest": ["whole", "ranged", "indexed"],
-    "corpus_curation": ["sample", "pack"],
+    "corpus_curation": ["sample", "pack", "order"],
     "dedup_groups": ["exact", "simhash"],
     "minhash": ["sig", "pairs"],
     "graph_ops": ["cc", "pr"],

@@ -38,6 +38,8 @@ __all__ = [
     "deterministic_sample",
     "stratified_sample",
     "pack_shards",
+    "shuffle_order_key",
+    "global_order_index",
 ]
 
 
@@ -156,4 +158,50 @@ def pack_shards(
             ),
         )
         .drop("__pid", "__c", "__off")
+    )
+
+
+def shuffle_order_key(key: Column, salt: str = "") -> Column:
+    """Deterministic training-shuffle sort key: the md5 hex of the row
+    key (+ salt). Sorting by it is a uniform, reproducible permutation —
+    the same corpus shuffles identically on any cluster, any partition
+    count, any engine (DuckDB twin: ``md5(CAST(k AS VARCHAR) || salt)``).
+    ``salt`` selects independent permutations (one per training epoch)."""
+    return F.md5(F.concat(key.cast("string"), F.lit(salt)))
+
+
+def global_order_index(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    salt: str = "",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic corpus shuffle for training order: adds
+    ``order_key`` (the md5 permutation key) and ``train_pos`` — the row's
+    0-based GLOBAL position in that shuffled order.
+
+    A trainer needs positions, not just an ordering: positions let it
+    seek ("resume from sample 41,000,000"), split ranges across data
+    loaders, and interleave sources. The naive plan is
+    ``row_number() OVER (ORDER BY order_key)`` — a single-partition
+    window, the same scale-killer :func:`pack_shards` avoids — so this
+    IS :func:`pack_shards` with one token per row and a budget of 1: the
+    running count of rows BEFORE a row, div 1, is exactly its 0-based
+    global index, and the distributed prefix sum already computes that
+    without ever materializing a global window. Requires ``key_col``
+    values unique (md5 of a unique key is collision-free in practice;
+    ties would make positions arbitrary within the tie)."""
+    keyed = df.withColumn(
+        "order_key", shuffle_order_key(F.col(key_col), salt)
+    ).withColumn("__one", F.lit(1).cast("long"))
+    return (
+        pack_shards(
+            keyed,
+            "__one",
+            1,
+            order_col="order_key",
+            num_partitions=num_partitions,
+        )
+        .withColumnRenamed("shard_id", "train_pos")
+        .drop("__one")
     )

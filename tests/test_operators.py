@@ -2059,6 +2059,39 @@ class TestCuration:
         }
         assert got2 == want
 
+    def test_global_order_index_matches_python(self, spark):
+        """Deterministic training shuffle: train_pos must equal the rank
+        of md5(key) in pure Python, at two partition counts."""
+        import hashlib
+
+        from companycatalogcrawlerparser_spark.operators import curation as CU
+
+        df = spark.range(500).select(F.col("id").alias("doc_id"))
+        want = {
+            i: p
+            for p, i in enumerate(
+                sorted(
+                    range(500),
+                    key=lambda i: hashlib.md5(str(i).encode()).hexdigest(),
+                )
+            )
+        }
+        for n_parts in (3, 16):
+            got = {
+                r["doc_id"]: r["train_pos"]
+                for r in CU.global_order_index(
+                    df, num_partitions=n_parts
+                ).collect()
+            }
+            assert got == want, n_parts
+        # a different salt is a different permutation
+        other = {
+            r["doc_id"]: r["train_pos"]
+            for r in CU.global_order_index(df, salt="epoch1").collect()
+        }
+        assert other != want
+        assert sorted(other.values()) == list(range(500))
+
     def test_pack_shards_branch_consistent_at_volume(self, spark):
         """Regression (r6 XL): __pid from spark_partition_id is a
         READ-side value — without the in-operator localCheckpoint, AQE
