@@ -29,6 +29,7 @@ from companycatalogcrawlerparser_spark.operators import contamination as CT
 from companycatalogcrawlerparser_spark.operators import curation as CU
 from companycatalogcrawlerparser_spark.operators import dedup as D
 from companycatalogcrawlerparser_spark.operators import linkgraph as LG
+from companycatalogcrawlerparser_spark.operators import pii as PII
 from companycatalogcrawlerparser_spark.operators import similarity as SIM
 from companycatalogcrawlerparser_spark.operators import textquality as TQ
 
@@ -752,9 +753,27 @@ def q_neardup_pairs(spark, sf_dir):
 def q_text_metrics(spark, sf_dir):
     """Language-ID + token counting + quality scoring + fingerprint over
     one documents scan (folded from four per-doc rows — one scan, one
-    row per doc, every metric still hash-verified per value)."""
+    row per doc, every metric still hash-verified per value).
+
+    r6-late: + PII detection/redaction columns (operators.pii) over a
+    deterministically DECORATED text — the fixture docs contain no PII,
+    so every third doc gains a synthetic email + phone + IPv4 tail built
+    from doc_id by the identical formula in both engines; counts and the
+    md5 of the fully redacted text are then non-vacuous hash signals."""
     d = _t_wide(spark, sf_dir, "documents")
     feats = TQ.quality_features(F.col("text"))
+    pii_text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 495-123-45-67 at 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
     return d.select(
         "doc_id",
         TQ.predict_lang(F.col("text")).alias("pred_lang"),
@@ -765,6 +784,10 @@ def q_text_metrics(spark, sf_dir):
         feats["stopword_ratio"].alias("stopword_ratio"),
         TQ.quality_score(F.col("text")).alias("quality"),
         TQ.fingerprint(F.col("text")).alias("fp"),
+        PII.pii_count(pii_text, "email").alias("n_pii_email"),
+        PII.pii_count(pii_text, "phone").alias("n_pii_phone"),
+        PII.pii_count(pii_text, "ipv4").alias("n_pii_ipv4"),
+        F.md5(PII.redact_pii(pii_text)).alias("pii_fp"),
     )
 
 
@@ -1019,6 +1042,27 @@ FROM documents, LATERAL unnest(generate_series(1, greatest(length({norm_text}) -
 
     lat = "length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))"
     cyr = "length(text) - length(regexp_replace(text, '[А-Яа-яЁё]', '', 'g'))"
+
+    # PII twin fragments (operators.pii): the deterministic decoration
+    # formula and the SAME pattern strings the engine compiles —
+    # precomputed as locals because the patterns contain {m,n} repetition
+    # braces, which an f-string template would eat
+    pii_email, pii_phone, pii_ipv4 = (
+        PII.PII_PATTERNS["email"],
+        PII.PII_PATTERNS["phone"],
+        PII.PII_PATTERNS["ipv4"],
+    )
+    pii_decor = (
+        "lower(text || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || "
+        "CAST(doc_id AS VARCHAR) || '@example.com or 495-123-45-67 at "
+        "10.0.0.' || CAST(doc_id % 256 AS VARCHAR) ELSE '' END)"
+    )
+    pii_redact = (
+        f"regexp_replace(regexp_replace(regexp_replace({pii_decor}, "
+        f"'{pii_email}', '<EMAIL>', 'g'), "
+        f"'{pii_phone}', '<PHONE>', 'g'), "
+        f"'{pii_ipv4}', '<IPV4>', 'g')"
+    )
 
     token_count_sql = (
         "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
@@ -1473,7 +1517,11 @@ SELECT doc_id,
            + 0.3 * least(round(stop / greatest(toks, 1.0), 6) * 2, 1.0)
            + 0.2 * (1.0 - least(round(digits / safe_n, 6) * 4, 1.0))
            + 0.1 * least(toks / 100.0, 1.0), 6) AS quality,
-       md5({norm_text}) AS fp
+       md5({norm_text}) AS fp,
+       CAST(len(regexp_extract_all({pii_decor}, '{pii_email}')) AS BIGINT) AS n_pii_email,
+       CAST(len(regexp_extract_all({pii_decor}, '{pii_phone}')) AS BIGINT) AS n_pii_phone,
+       CAST(len(regexp_extract_all({pii_decor}, '{pii_ipv4}')) AS BIGINT) AS n_pii_ipv4,
+       md5({pii_redact}) AS pii_fp
 FROM f
 """,
         "ann_bruteforce": """
