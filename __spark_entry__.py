@@ -630,7 +630,7 @@ def q_graph_ops(spark, sf_dir):
     Fixed-point integer power iteration (scale 1e6, d = 85/100,
     3 rounds) makes the ranks bit-identical across partitionings and
     engines — the oracle is the same recurrence unrolled as three SQL
-    passes. Engine-new vs the reference (no link table in DbManager.fs);
+    passes. Engine-new vs the reference (no link table in DbAccess.fs);
     the 100 TB role is corpus weighting."""
     d = _t_wide(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     pairs = D.minhash_lsh_pairs(d, num_hashes=8, bands=4).filter(

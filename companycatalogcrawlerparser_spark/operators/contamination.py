@@ -17,11 +17,15 @@ Scale shape (the part that matters at 100 TB):
   plain shuffle join on the shingle key for the rare huge-benchmark case;
   shingle keys are near-uniform (high-cardinality substrings), so that
   join has no skew story.
-- The corpus side is ONE explode → (broadcast) join → groupBy(doc_id)
-  count. The groupBy key is the doc id, i.e. pre-aggregation is map-side
-  partial (each partition holds each doc's shingles contiguously after
-  the explode — no re-shuffle of raw shingle rows beyond the count's own
-  exchange).
+- The corpus side is ONE SCAN, ONE explode → (broadcast) LEFT join →
+  groupBy(doc_id): ``n_shingles`` is carried through the explode as a
+  ``size(shingles(text))`` column so the set size and the shared count
+  come out of the same aggregate — the corpus is never read or shingled
+  twice (r6 shipped two plan branches over the explode; at 100 TB that
+  is two full corpus scans per decontamination pass). The groupBy key is
+  the doc id, i.e. pre-aggregation is map-side partial (each partition
+  holds each doc's shingles contiguously after the explode — no
+  re-shuffle of raw shingle rows beyond the count's own exchange).
 - No Python in the hot path: shingling is the interpreted-HOF-safe
   ``dedup.shingles`` (normalized text bound once per row), the join and
   counts are codegen.
@@ -69,38 +73,55 @@ def contamination_scores(
     ``contaminated = overlap >= threshold``. Docs with zero benchmark
     overlap are kept (overlap 0.0) so the output is a total decoration of
     the corpus — a decontamination pass is then a single
-    ``.filter(~contaminated)``.
+    ``.filter(~contaminated)``. Totality includes NULL-text docs: the
+    explode is ``explode_outer`` so they come out with
+    ``n_shingles = 0, overlap = 0.0`` rather than silently vanishing.
     """
+    # ONE corpus scan: bind the shingle set once, carry its size through
+    # the explode as a per-row constant, then aggregate size and shared
+    # count out of the same grouped frame. shingles() is array_distinct
+    # per doc -> size() is the SET size, and the LEFT join against the
+    # DISTINCT bench side matches each doc shingle at most once -> the
+    # hit count is |doc ∩ bench|.
     doc_sh = docs.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle")
+        F.col(id_col),
+        # shingles(NULL) is array(NULL) — a one-element set of nothing;
+        # map NULL text to a NULL set so it decorates as n_shingles=0
+        F.when(F.col(text_col).isNull(), F.lit(None))
+        .otherwise(shingles(F.col(text_col), k))
+        .alias("_sh"),
+    ).select(
+        id_col,
+        F.when(F.col("_sh").isNull(), F.lit(0))
+        .otherwise(F.size("_sh"))
+        .cast("long")
+        .alias("n_shingles"),
+        F.explode_outer("_sh").alias("shingle"),
     )
-    bench_sh = benchmark_shingles(benchmark, bench_text_col, k)
+    bench_sh = benchmark_shingles(benchmark, bench_text_col, k).withColumn(
+        "_hit", F.lit(1)
+    )
     if broadcast_bench:
         bench_sh = F.broadcast(bench_sh)
-    # shingles() is array_distinct per doc -> count(*) is the SET size,
-    # and the join against the distinct bench side matches each doc
-    # shingle at most once -> count is |doc ∩ bench|
-    sizes = doc_sh.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_shingles")
-    )
-    shared = (
-        doc_sh.join(bench_sh, "shingle")
-        .groupBy(id_col)
-        .agg(F.count("*").cast("long").alias("n_shared"))
-    )
     return (
-        sizes.join(shared, id_col, "left")
+        doc_sh.join(bench_sh, "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.max("n_shingles").alias("n_shingles"),
+            F.count("_hit").cast("long").alias("n_shared"),
+        )
         .select(
             id_col,
             "n_shingles",
-            F.coalesce(F.col("n_shared"), F.lit(0).cast("long")).alias(
-                "n_shared"
-            ),
-            F.round(
-                F.coalesce(F.col("n_shared"), F.lit(0)).cast("double")
-                / F.col("n_shingles"),
-                6,
-            ).alias("overlap"),
+            "n_shared",
+            F.when(
+                F.col("n_shingles") > 0,
+                F.round(
+                    F.col("n_shared").cast("double") / F.col("n_shingles"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("overlap"),
         )
         .withColumn("contaminated", F.col("overlap") >= F.lit(threshold))
     )

@@ -1,7 +1,7 @@
 """Link-graph quality metrics for the crawl corpus.
 
 The reference stops at per-page extraction (its DB has no link table —
-``DbManager.fs`` stores companies/emails only); a 100 TB training-data
+``DbAccess.fs`` stores companies/emails only); a 100 TB training-data
 pipeline additionally scores hosts/pages by link-graph centrality to
 weight or filter the corpus (the classic crawl-quality signal). This
 module provides PageRank as a pure DataFrame power iteration.

@@ -23,7 +23,7 @@ streaming-safe pieces:
 
 Reference analogue: the reference engine has no streaming surface at
 all (its crawl loop is batch rounds over MS SQL,
-``/root/reference/CoLiWebApp/Program.fs``); this is engine-new scope
+``/root/reference/CrawlerParser/Program.fs``); this is engine-new scope
 from the brief's training-data-pipeline list, the streaming twin of
 ``operators/dedup.minhash_lsh_pairs``.
 

@@ -1822,7 +1822,7 @@ class TestCuckooFilter:
 class TestConnectedComponents:
     """dedup_clusters / connected_components: alternating large-star /
     small-star over the near-dup pair graph (Kiveris et al., SoCC 2014).
-    The reference dedups per-pair (DbManager.fs insertCompanyEmails'
+    The reference dedups per-pair (DbAccess.fs insertCompanyEmails'
     distinct/anti-join shape); clustering is the engine's 100 TB-scale
     generalization — survivors are per-COMPONENT, not per-pair."""
 
