@@ -769,7 +769,10 @@ def q_text_metrics(spark, sf_dir):
             F.concat(
                 F.lit(" contact user"),
                 F.col("doc_id").cast("string"),
-                F.lit("@example.com or 495-123-45-67 at 10.0.0."),
+                F.lit(
+                    "@example.com or 495-123-45-67 or +7 495-123-45-67,"
+                    " (812) 555-01-02 at 10.0.0."
+                ),
                 (F.col("doc_id") % 256).cast("string"),
             ),
         ).otherwise(F.lit("")),
@@ -1054,7 +1057,8 @@ FROM documents, LATERAL unnest(generate_series(1, greatest(length({norm_text}) -
     )
     pii_decor = (
         "lower(text || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || "
-        "CAST(doc_id AS VARCHAR) || '@example.com or 495-123-45-67 at "
+        "CAST(doc_id AS VARCHAR) || '@example.com or 495-123-45-67 or "
+        "+7 495-123-45-67, (812) 555-01-02 at "
         "10.0.0.' || CAST(doc_id % 256 AS VARCHAR) ELSE '' END)"
     )
     pii_redact = (

@@ -25,15 +25,43 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # ordered: redaction applies in this order, and placeholders are chosen
-# so no pattern matches another's placeholder
+# so no pattern matches another's placeholder.
+#
+# Digit-edge guards are ``\b`` — the ASCII word boundary, which Java
+# regex (default flags: \w = [a-zA-Z0-9_]) and RE2 define identically,
+# and which is ZERO-WIDTH, so regexp_count and regexp_replace never
+# consume a boundary character (a consuming guard class like [^0-9]
+# would break adjacent-span counting and replacement resume points
+# differently per engine). This closes the r6 sub-span hole: in
+# '1234.5.6.7890' nothing matches, where the unguarded pattern redacted
+# '234.5.6.789' and left stray digits around the placeholder.
+#
+# Precision/recall contract (deliberate, precision-first): leading-zero
+# octets ('010.0.0.1'), 5-part dotted runs (the first 4 octets of
+# '1.2.3.4.5' still match), version-like dotted quads ('1.2.3.4'), and
+# phone groupings outside the four supported shapes (3-3-2-2 dashed /
+# spaced, +CC international, (NNN)-paren) are NOT matched — false
+# redactions destroy training text silently, so unmatched rare forms
+# are the cheaper error.
 PII_PATTERNS: dict[str, str] = {
     # local@domain.tld — lowercase subset (apply to lowercased text)
     "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
-    # 3-3-2-2 dashed phone groups (the engine's crawl corpus format);
-    # bounded-repetition only, identical semantics in Java regex and RE2
-    "phone": r"[0-9]{3}-[0-9]{3}-[0-9]{2}-[0-9]{2}",
-    # dotted-quad IPv4 (syntactic: 1-3 digits per octet)
-    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    # phone shapes, mutually exclusive at the first char ('+', '(',
+    # digit) so alternation order is irrelevant in both engines:
+    #   +CC {2,3}-{2,3}-2-2 international (dashed or spaced groups),
+    #   (NNN) 3-2-2 paren-grouped,
+    #   bare 3-3-2-2 (dashed or spaced — the crawl corpus format)
+    "phone": (
+        r"(\+[0-9]{1,3}[- ][0-9]{2,3}[- ][0-9]{2,3}[- ][0-9]{2}[- ][0-9]{2}\b"
+        r"|\([0-9]{3}\) ?[0-9]{3}-[0-9]{2}-[0-9]{2}\b"
+        r"|\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{2}[- ][0-9]{2}\b)"
+    ),
+    # dotted-quad IPv4 with octet range pinned to 0-255 (no leading
+    # zeros) — '999.1.1.1' and '256.1.1.1' no longer match
+    "ipv4": (
+        r"\b(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
+        r"(\.(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}\b"
+    ),
 }
 
 
