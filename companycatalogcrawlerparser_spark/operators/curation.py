@@ -113,6 +113,17 @@ def pack_shards(
 
     Distributed prefix sum (see module docstring): requires
     ``token_col`` >= 0 and non-null, ``order_col`` globally unique.
+
+    Cluster-resilience caveat: the eager ``localCheckpoint`` below (which
+    freezes partition ids as data — see the AQE note) materializes at
+    DataFrame-construction time and its blocks live until the session (or
+    an explicit ``unpersist``) releases them; localCheckpoint blocks are
+    also non-replicated, so on a preemptible fleet an executor loss makes
+    the frozen lineage unrecoverable — production clusters should swap in
+    a reliable ``checkpoint`` dir (same plan, durable blocks). Callers
+    that pack repeatedly in one session can reclaim storage via
+    ``spark.catalog.clearCache()`` or by acting on the returned frame's
+    lineage once consumed.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")

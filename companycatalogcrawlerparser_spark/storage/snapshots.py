@@ -66,6 +66,95 @@ class SnapshotStore:
         os.rename(tmp, final)  # the atomic commit point
         return manifest
 
+    # -- trainer shard handoff -------------------------------------------------
+
+    def commit_shards(
+        self,
+        round_id: int,
+        df: DataFrame,
+        *,
+        shard_col: str = "shard_id",
+        order_col: Optional[str] = None,
+        table: str = "shards",
+        counters: Optional[Dict[str, int]] = None,
+    ) -> dict:
+        """Write the packed training shards (``pack_shards`` /
+        ``global_order_index`` output) as ONE directory per shard —
+        ``data/round=K/<table>/<shard_col>=N/`` — under the same atomic
+        manifest-rename commit as a crawl round, so kill/resume semantics
+        cover the trainer's final artifact too: a killed write leaves an
+        orphan dir the next run ignores (no manifest) and overwrites.
+
+        Scale shape: ONE Spark job for any number of shards — hash
+        repartition on ``shard_col`` (each shard's rows land on one task;
+        shards are ~budget-token sized by construction, so tasks are
+        bounded and skew-free) + ``sortWithinPartitions`` (rows inside
+        each shard file are in ``order_col`` order — the trainer streams
+        a shard without sorting) + dynamic ``partitionBy`` (one file per
+        shard per task — and each shard lives in exactly one task, so one
+        file per shard). Never a per-shard driver loop of write jobs.
+        """
+        from pyspark.sql import functions as F
+
+        data_dir = os.path.join(self.root, "data", f"round={round_id}")
+        path = os.path.join(data_dir, table)
+        sort_cols = [shard_col] + ([order_col] if order_col else [])
+        (
+            df.repartition(F.col(shard_col))
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("overwrite")
+            .partitionBy(shard_col)
+            .parquet(path)
+        )
+        shard_ids = sorted(
+            int(fn.split("=", 1)[1])
+            for fn in os.listdir(path)
+            if fn.startswith(f"{shard_col}=")
+        )
+        manifest: dict = {
+            "round": round_id,
+            "tables": {
+                table: {
+                    "path": path,
+                    "partitioned_by": shard_col,
+                    "n_shards": len(shard_ids),
+                }
+            },
+            "counters": counters or {},
+        }
+        tmp = os.path.join(
+            self.root, "manifests", f".round-{round_id}.json.tmp"
+        )
+        final = os.path.join(self.root, "manifests", f"round-{round_id}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, final)  # the atomic commit point
+        return manifest
+
+    def shard_ids(self, round_id: int, table: str = "shards") -> list:
+        """Committed shard ids in ascending (= train) order. Listing goes
+        through the manifest, so orphan dirs from killed writes are
+        invisible until their round commits."""
+        entry = self.manifest(round_id)["tables"][table]
+        pref = entry["partitioned_by"] + "="
+        return sorted(
+            int(fn.split("=", 1)[1])
+            for fn in os.listdir(entry["path"])
+            if fn.startswith(pref)
+        )
+
+    def read_shard(
+        self, round_id: int, shard_id: int, table: str = "shards"
+    ) -> DataFrame:
+        """One shard's rows, in written (``order_col``) order when read
+        single-file — the trainer's per-shard stream."""
+        entry = self.manifest(round_id)["tables"][table]
+        return self.spark.read.parquet(
+            os.path.join(entry["path"], f"{entry['partitioned_by']}={shard_id}")
+        )
+
     # -- restore ---------------------------------------------------------------
 
     def committed_rounds(self) -> list:

@@ -109,6 +109,93 @@ def test_cross_batch_state_pairs(spark, tmp_path):
     assert (1, 4) in got and (1, 6) in got and (4, 6) in got  # span batches
 
 
+def _write_source_file(spark, tmp_path, src, i, rows):
+    """One parquet file named {i:03d} with strictly increasing mtime so
+    maxFilesPerTrigger=1 processes files in arrival order."""
+    one = tmp_path / f"part{i}"
+    _docs(spark, rows).coalesce(1).write.parquet(str(one))
+    part = next(
+        fn for fn in sorted(os.listdir(one)) if fn.endswith(".parquet")
+    )
+    dst = src / f"{i:03d}.parquet"
+    os.rename(one / part, dst)
+    base = os.path.getmtime(dst)
+    os.utime(dst, (base + i, base + i))
+    return dst
+
+
+def _run_once(spark, src, chk, out, max_bucket):
+    """Start the stateful stream availableNow against src with checkpoint
+    chk and a RESTART-CAPABLE parquet sink (the memory sink refuses to
+    recover from a checkpoint), drain it, return the sink's cumulative
+    pair multiset as a sorted list (duplicates visible — replay shows up
+    as a doubled pair)."""
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    pairs = streaming_lsh_pairs(
+        banded_keys_rowwise(stream, num_hashes=8, bands=4),
+        max_bucket=max_bucket,
+    )
+    q = (
+        pairs.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(out))
+        .option("checkpointLocation", str(chk))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sorted(
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(str(out)).select("id_a", "id_b").collect()
+    )
+
+
+def test_restart_from_checkpoint(spark, tmp_path):
+    """VERDICT r6 #7: bucket state must survive a full query STOP +
+    restart from the checkpoint — a duplicate arriving after restart
+    still pairs with pre-restart originals, and pre-restart pairs are
+    not re-emitted by the second run."""
+    same = "identical text repeated verbatim for the restart state case"
+    src = tmp_path / "src"
+    src.mkdir()
+    chk, out = tmp_path / "chk", tmp_path / "out"
+
+    _write_source_file(spark, tmp_path, src, 1, [(1, same)])
+    _write_source_file(spark, tmp_path, src, 2, [(2, same)])
+    first = _run_once(spark, src, chk, out, max_bucket=256)
+    # identical docs collide in ALL 4 bands -> one emission per band
+    assert first == [(1, 2)] * 4
+    # query is terminated here (availableNow) — state lives only in chk
+
+    _write_source_file(spark, tmp_path, src, 3, [(3, same)])
+    second = _run_once(spark, src, chk, out, max_bucket=256)
+    # restored state pairs the new arrival with BOTH earlier docs, and
+    # the pre-restart pair keeps exactly its 4 per-band rows (no replay)
+    # — the sink is cumulative, so a re-emission would double (1, 2)
+    assert second == sorted([(1, 2)] * 4 + [(1, 3)] * 4 + [(2, 3)] * 4)
+
+
+def test_restart_preserves_online_cap(spark, tmp_path):
+    """The first-k online cap counts arrivals ACROSS restarts: a bucket
+    filled to its cap before the stop admits nothing after it."""
+    same = "identical text repeated verbatim for the capped restart case"
+    src = tmp_path / "src"
+    src.mkdir()
+    chk, out = tmp_path / "chk", tmp_path / "out"
+
+    _write_source_file(spark, tmp_path, src, 1, [(10, same), (20, same)])
+    first = _run_once(spark, src, chk, out, max_bucket=2)
+    assert first == [(10, 20)] * 4
+
+    _write_source_file(spark, tmp_path, src, 2, [(30, same)])
+    second = _run_once(spark, src, chk, out, max_bucket=2)
+    assert second == [(10, 20)] * 4  # nothing new; nothing replayed
+
+
 def test_online_cap_admits_first_k(spark, tmp_path):
     # four identical docs land in one bucket per band; cap=2 admits the
     # first two ARRIVALS only -> exactly the (10, 20) pair, even though
