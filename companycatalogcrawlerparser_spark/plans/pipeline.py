@@ -1,0 +1,172 @@
+"""The composed training-data curation pipeline — the product surface.
+
+Every stage exists as a standalone operator (textquality / dedup /
+contamination / pii / curation / storage.snapshots); this module is the
+chain a 100 TB user actually runs, as ONE callable: quality gate →
+near-dup survivors (minhash ∪ winnow candidates → exact-Jaccard verify →
+connected-component clustering, one representative kept) → benchmark
+decontamination → PII redaction → deterministic stratified sampling →
+training shuffle + global order index → token-budget shard packing →
+(optionally) the atomic per-shard trainer artifact via
+``SnapshotStore.commit_shards``.
+
+Reference analogue: none — the reference (CrawlerParser/Program.fs)
+ends at extraction+storage; this is the engine-new training-data scope
+from the brief, composed. The XL measurement of this exact chain at 1M
+docs / two core counts is ``tools/bench_dedup_xl.py --tasks
+pipeline_full`` → ``BENCH/pipeline_xl_r7.json``.
+
+Scale properties are inherited, not re-argued: every stage is
+bucketed/broadcast/prefix-summed (see each operator's docstring), the
+only driver-side values are scalar counters, and every stage's output is
+a deterministic pure function of the input rows — so the whole chain is
+reproducible across clusters, partitionings, and core counts
+(bit-stability is checked per stage in the XL bench).
+
+Determinism requires (same preconditions as the constituent operators):
+``id_col`` globally unique and non-null; ``token_col`` derived here is
+always non-null (token_count of NULL text is 0).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import contamination as CT
+from ..operators import curation as CUR
+from ..operators import dedup as D
+from ..operators import pii as PII
+from ..operators import textquality as TQ
+
+__all__ = ["CurationConfig", "curate_training_corpus"]
+
+
+@dataclass
+class CurationConfig:
+    """Knobs for :func:`curate_training_corpus` — defaults mirror the XL
+    bench so the measured chain IS the default chain."""
+
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    # stage 1 — quality gate
+    quality_min: float = 0.25
+    # stage 2 — near-dup dedup
+    jaccard_threshold: float = 0.5
+    max_bucket: Optional[int] = 256
+    # stage 3 — decontamination (skipped when benchmark is None)
+    contam_k: int = 8
+    contam_threshold: float = 0.5
+    # stage 4 — PII redaction
+    redact: bool = True
+    # stage 5 — deterministic stratified sampling (md5 gate, /10000)
+    sample_rates: dict = field(default_factory=lambda: {"en": 8000})
+    default_keep: int = 500
+    sample_salt: str = ""
+    # stages 6-7 — training shuffle + token-budget packing
+    shuffle_salt: str = ""
+    shard_budget_tokens: int = 100_000
+    num_partitions: Optional[int] = None
+
+
+def curate_training_corpus(
+    docs: DataFrame,
+    benchmark: Optional[DataFrame] = None,
+    config: Optional[CurationConfig] = None,
+    *,
+    store=None,
+    round_id: int = 1,
+    observations: Optional[dict] = None,
+) -> DataFrame:
+    """Run the full curation chain over ``docs`` (``id_col``,
+    ``text_col``). Returns the packed training frame — one row per kept
+    doc with ``lang``, ``n_tok``, the (redacted) ``text``, ``order_key``,
+    ``train_pos`` (0-based global position in the deterministic training
+    shuffle) and ``shard_id`` — and, when ``store`` (a
+    :class:`~..storage.snapshots.SnapshotStore`) is given, also commits
+    the per-shard artifact atomically as round ``round_id``.
+
+    Laziness contract: the returned frame's lineage contains two EAGER
+    materialization points the constituent operators require —
+    ``jaccard_verify``'s localCheckpoint of the candidate pairs and
+    ``pack_shards``'s partition-id freeze (×2: order index + packing).
+    Everything else stays lazy until the caller acts.
+
+    Pass ``observations={"minhash": Observation(), "winnow":
+    Observation()}`` to receive the dedup skip/cap metrics in the same
+    jobs that compute the pairs (the operators' standard contract).
+    """
+    cfg = config or CurationConfig()
+    obs = observations or {}
+    idc, txc = cfg.id_col, cfg.text_col
+
+    # 1. quality gate: langid + token count + quality score, one scan
+    gated = docs.select(
+        F.col(idc),
+        F.col(txc),
+        TQ.predict_lang(F.col(txc)).alias("lang"),
+        TQ.token_count(F.col(txc)).alias("n_tok"),
+        TQ.quality_score(F.col(txc)).alias("q"),
+    ).filter(F.col("q") >= cfg.quality_min)
+
+    # 2. near-dup survivors: two candidate modalities (band-collision +
+    # winnowing) → exact verify on candidates only → component clustering
+    mh = D.minhash_lsh_pairs(
+        gated, id_col=idc, text_col=txc,
+        max_bucket=cfg.max_bucket, observation=obs.get("minhash"),
+    )
+    wn = D.winnow_pairs(
+        gated, id_col=idc, text_col=txc,
+        max_bucket=cfg.max_bucket, observation=obs.get("winnow"),
+    ).select("id_a", "id_b")
+    cands = mh.unionByName(wn).distinct()
+    verified = D.jaccard_verify(
+        gated, cands, id_col=idc, text_col=txc,
+        threshold=cfg.jaccard_threshold,
+    )
+    clusters = D.dedup_clusters(gated, verified, id_col=idc)
+    survivors = gated.join(
+        clusters.filter(F.col("is_rep")).select(idc), idc
+    )
+
+    # 3. decontamination: total decoration → drop flagged docs
+    if benchmark is not None:
+        scores = CT.contamination_scores(
+            survivors, benchmark, k=cfg.contam_k,
+            threshold=cfg.contam_threshold, id_col=idc, text_col=txc,
+        )
+        survivors = survivors.join(
+            scores.filter(~F.col("contaminated")).select(idc), idc
+        )
+
+    # 4. PII redaction (in place on the text column)
+    if cfg.redact:
+        survivors = survivors.withColumn(txc, PII.redact_pii(F.col(txc)))
+
+    # 5. deterministic stratified sampling by language
+    kept = CUR.stratified_sample(
+        survivors.drop("q"),
+        cfg.sample_rates,
+        "lang",
+        key_col=idc,
+        salt=cfg.sample_salt,
+        default_keep=cfg.default_keep,
+    )
+
+    # 6-7. training shuffle + global positions, then pack in that order
+    ordered = CUR.global_order_index(
+        kept, key_col=idc, salt=cfg.shuffle_salt,
+        num_partitions=cfg.num_partitions,
+    )
+    packed = CUR.pack_shards(
+        ordered, "n_tok", cfg.shard_budget_tokens,
+        order_col="train_pos", num_partitions=cfg.num_partitions,
+    )
+
+    # 8. optional trainer artifact: one dir per shard, atomic manifest
+    if store is not None:
+        store.commit_shards(round_id, packed, order_col="train_pos")
+    return packed
