@@ -759,9 +759,33 @@ def q_text_metrics(spark, sf_dir):
     deterministically DECORATED text — the fixture docs contain no PII,
     so every third doc gains a synthetic email + phone + IPv4 tail built
     from doc_id by the identical formula in both engines; counts and the
-    md5 of the fully redacted text are then non-vacuous hash signals."""
+    md5 of the fully redacted text are then non-vacuous hash signals.
+
+    r7: + Gopher/MassiveText repetition + format rules
+    (operators.textquality.gopher_metrics) over a second decoration —
+    every fourth doc gains duplicate lines, a dominant repeated 2-gram
+    run and symbol chars, so every rule fires on a real subset; the
+    Spark side is the shuffle-free sorted-array-run formulation, the
+    oracle below the naive unnest→GROUP BY relational one — the hash
+    compares two independent formulations of the pinned definitions."""
     d = _t_wide(spark, sf_dir, "documents")
     feats = TQ.quality_features(F.col("text"))
+    k7 = (F.col("doc_id") % 7).cast("string")
+    k5 = (F.col("doc_id") % 5).cast("string")
+    gram_run = []
+    for _ in range(6):
+        gram_run += [F.lit("tok"), k5, F.lit(" gram ")]
+    gtext = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("\ndup row "), k7, F.lit("\ndup row "), k7,
+                F.lit("\n"), *gram_run, F.lit("# ... …"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    gm = TQ.gopher_metrics(gtext)
     pii_text = F.concat(
         F.col("text"),
         F.when(
@@ -791,6 +815,8 @@ def q_text_metrics(spark, sf_dir):
         PII.pii_count(pii_text, "phone").alias("n_pii_phone"),
         PII.pii_count(pii_text, "ipv4").alias("n_pii_ipv4"),
         F.md5(PII.redact_pii(pii_text)).alias("pii_fp"),
+        *[v.alias(k) for k, v in gm.items()],
+        TQ.gopher_gate(gm).alias("gopher_pass"),
     )
 
 
@@ -1055,6 +1081,33 @@ FROM documents, LATERAL unnest(generate_series(1, greatest(length({norm_text}) -
         PII.PII_PATTERNS["phone"],
         PII.PII_PATTERNS["ipv4"],
     )
+
+    # Gopher-rule twin fragments (operators.textquality.gopher_metrics):
+    # the deliberately NAIVE relational formulation — unnest lines /
+    # n-grams, GROUP BY, join back — vs the engine's shuffle-free
+    # sorted-array-run formulation; identical pinned definitions, two
+    # independent computations. Precomputed locals (regex braces again).
+    g_seg = "'tok' || CAST(doc_id % 5 AS VARCHAR) || ' gram '"
+    g_decor = (
+        "coalesce(text, '') || CASE WHEN doc_id % 4 = 0 THEN "
+        "chr(10) || 'dup row ' || CAST(doc_id % 7 AS VARCHAR) || "
+        "chr(10) || 'dup row ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) || "
+        + " || ".join([g_seg] * 6)
+        + " || '# ... …' ELSE '' END"
+    )
+    norm_g = "regexp_replace(lower(trim(gtext)), '\\s+', ' ', 'g')"
+    g_sym_cnt = "len(regexp_extract_all(gtext, '#|\\.{3}|…'))"
+    g_tok_cnt = (
+        "CASE WHEN trim(gtext) = '' THEN 0 "
+        "ELSE len(string_split_regex(trim(gtext), '\\s+')) END"
+    )
+
+    def g_grams_cte(n):
+        return (
+            "SELECT doc_id, gram FROM gn, LATERAL unnest(list_transform("
+            f"generate_series(1, greatest(len(words) - {n - 1}, 0)), "
+            f"i -> array_to_string(words[i:i+{n - 1}], ' '))) AS t(gram)"
+        )
     pii_decor = (
         "lower(text || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || "
         "CAST(doc_id AS VARCHAR) || '@example.com or 495-123-45-67 or "
@@ -1505,7 +1558,55 @@ f AS (
          CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits,
          CAST({token_count_sql} AS DOUBLE) AS toks,
          CAST({word_hits_sql(en_sw)} + {word_hits_sql(ru_sw)} AS DOUBLE) AS stop
-  FROM m)
+  FROM m),
+gd AS (SELECT doc_id, {g_decor} AS gtext FROM documents),
+gn AS (SELECT doc_id, gtext, {norm_g} AS norm,
+              list_filter(string_split({norm_g}, ' '), w -> w <> '') AS words
+       FROM gd),
+gln AS (SELECT doc_id, trim(l) AS line
+        FROM gd, LATERAL unnest(string_split(gtext, chr(10))) AS t(l)
+        WHERE trim(l) <> ''),
+glc AS (SELECT doc_id, line, count(*) AS c FROM gln GROUP BY 1, 2),
+glm AS (SELECT doc_id,
+               sum(c) AS n_lines,
+               sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines,
+               sum(c * length(line)) AS line_chars,
+               sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dup_line_chars
+        FROM glc GROUP BY 1),
+gg2 AS ({g_grams_cte(2)}),
+gg2c AS (SELECT doc_id, gram, count(*) AS c FROM gg2 GROUP BY 1, 2),
+gt2 AS (SELECT doc_id, c * length(gram) AS chars,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+        FROM gg2c),
+gg3 AS ({g_grams_cte(3)}),
+gg3c AS (SELECT doc_id, gram, count(*) AS c FROM gg3 GROUP BY 1, 2),
+gt3 AS (SELECT doc_id, c * length(gram) AS chars,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+        FROM gg3c),
+gg5 AS ({g_grams_cte(5)}),
+gg5c AS (SELECT doc_id, gram, count(*) AS c FROM gg5 GROUP BY 1, 2),
+gd5 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS chars
+        FROM gg5c GROUP BY 1),
+gm AS (SELECT gn.doc_id,
+              round(CAST(coalesce(glm.dup_lines, 0) AS DOUBLE)
+                    / greatest(coalesce(glm.n_lines, 0), 1), 6) AS dup_line_frac,
+              round(CAST(coalesce(glm.dup_line_chars, 0) AS DOUBLE)
+                    / greatest(coalesce(glm.line_chars, 0), 1), 6) AS dup_line_char_frac,
+              round(least(CAST(coalesce(gt2.chars, 0) AS DOUBLE)
+                    / greatest(length(gn.norm), 1), 1.0), 6) AS top2gram_frac,
+              round(least(CAST(coalesce(gt3.chars, 0) AS DOUBLE)
+                    / greatest(length(gn.norm), 1), 1.0), 6) AS top3gram_frac,
+              round(least(CAST(coalesce(gd5.chars, 0) AS DOUBLE)
+                    / greatest(length(gn.norm), 1), 1.0), 6) AS dup5gram_frac,
+              round(CAST({g_sym_cnt} AS DOUBLE)
+                    / greatest({g_tok_cnt}, 1), 6) AS symbol_word_ratio,
+              round(CAST(len(list_filter(gn.words, w -> regexp_matches(w, '[a-zа-яё]'))) AS DOUBLE)
+                    / greatest(len(gn.words), 1), 6) AS alpha_word_frac
+       FROM gn
+       LEFT JOIN glm ON gn.doc_id = glm.doc_id
+       LEFT JOIN (SELECT doc_id, chars FROM gt2 WHERE rn = 1) gt2 ON gn.doc_id = gt2.doc_id
+       LEFT JOIN (SELECT doc_id, chars FROM gt3 WHERE rn = 1) gt3 ON gn.doc_id = gt3.doc_id
+       LEFT JOIN gd5 ON gn.doc_id = gd5.doc_id)
 SELECT doc_id,
        CASE WHEN ({cyr}) > ({lat}) THEN 'ru'
             WHEN ({lat}) > ({cyr}) THEN 'en'
@@ -1525,8 +1626,15 @@ SELECT doc_id,
        CAST(len(regexp_extract_all({pii_decor}, '{pii_email}')) AS BIGINT) AS n_pii_email,
        CAST(len(regexp_extract_all({pii_decor}, '{pii_phone}')) AS BIGINT) AS n_pii_phone,
        CAST(len(regexp_extract_all({pii_decor}, '{pii_ipv4}')) AS BIGINT) AS n_pii_ipv4,
-       md5({pii_redact}) AS pii_fp
-FROM f
+       md5({pii_redact}) AS pii_fp,
+       gm.dup_line_frac, gm.dup_line_char_frac,
+       gm.top2gram_frac, gm.top3gram_frac, gm.dup5gram_frac,
+       gm.symbol_word_ratio, gm.alpha_word_frac,
+       (gm.symbol_word_ratio <= 0.1 AND gm.alpha_word_frac >= 0.8
+        AND gm.dup_line_frac <= 0.3 AND gm.dup_line_char_frac <= 0.2
+        AND gm.top2gram_frac <= 0.2 AND gm.top3gram_frac <= 0.18
+        AND gm.dup5gram_frac <= 0.15) AS gopher_pass
+FROM f JOIN gm USING (doc_id)
 """,
         "ann_bruteforce": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),

@@ -8,10 +8,12 @@ at 100 TB scan scale.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .dedup import normalized
+from .dedup import bind_once, normalized
 
 EN_STOPWORDS = [
     "the", "and", "of", "to", "in", "is", "for", "with", "on", "that",
@@ -115,6 +117,265 @@ def quality_score(text) -> Column:
         + F.lit(0.1) * F.least(toks / F.lit(100.0), F.lit(1.0))
     )
     return F.round(score, 6)
+
+
+# --- Gopher/MassiveText-style repetition + format rules (Rae et al.
+# 2021, appendix A1) — the standard webtext quality filters beyond the
+# composite score above. All pure array/HOF expressions over ONE row:
+# shuffle-free by construction (the naive formulation — explode lines /
+# n-grams and groupBy(doc_id, value) — shuffles the entire corpus to
+# compute a per-doc ratio; sorting the per-doc array and scanning
+# adjacent runs gives identical counts with zero exchanges, which is the
+# plan that survives 100 TB). The DuckDB oracle twin deliberately USES
+# the naive relational formulation (unnest → GROUP BY → join back), so
+# the hash check compares two independent formulations of the pinned
+# definitions. Reference analogue: none (engine-new training-data scope).
+#
+# Pinned definitions (both engines):
+# - lines: raw-text '\n' split, each trimmed, empties dropped
+#   (normalized() collapses newlines, so line structure is pre-normalize)
+# - words: normalized-text ' ' split, empties dropped
+# - n-gram: space-join of n consecutive words
+# - dup_line_frac: lines whose value occurs >1 time (ALL instances
+#   counted) / line count
+# - dup_line_char_frac: chars of those instances / chars of all lines
+# - top_ngram_char_frac(n): (max gram count, ties → lexicographically
+#   smallest gram) * gram length / normalized-text length, capped at 1
+# - dup_ngram_char_frac(n): chars of all gram instances in groups with
+#   count>1 / normalized-text length, capped at 1 (overlaps counted —
+#   the Gopher approximation)
+# - symbol_word_ratio: occurrences of '#', '...' or '…' / word count
+# - alpha_word_frac: words containing an alphabetic char / word count
+
+
+def _empty_ints() -> Column:
+    return F.array().cast("array<int>")
+
+
+def _gopher_lines(text) -> Column:
+    """Non-empty trimmed lines of the RAW text."""
+    # NB: F.transform(arr, F.trim) silently no-ops (the bare function
+    # reference mis-binds); the lambda form evaluates correctly
+    return F.filter(
+        F.transform(
+            F.split(F.coalesce(text, F.lit("")), "\n"), lambda l: F.trim(l)
+        ),
+        lambda l: l != F.lit(""),
+    )
+
+
+def _gopher_words(text) -> Column:
+    """Non-empty whitespace tokens of the normalized text."""
+    return F.filter(
+        F.split(normalized(F.coalesce(text, F.lit(""))), " "),
+        lambda w: w != F.lit(""),
+    )
+
+
+def dup_line_stats(text) -> Column:
+    """struct(dup_line_frac, dup_line_char_frac) — duplicate-line ratios
+    via array_sort + adjacent-run scan (F.get is NULL-safe out of range,
+    unlike element_at under ANSI)."""
+
+    def per_sorted(s):
+        n = F.size(s)
+        # sequence(1, 0) yields [1, 0] (descending!) — guard empties
+        idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+            _empty_ints()
+        )
+
+        def isdup(i):
+            x = F.get(s, i)
+            return F.coalesce(
+                (F.get(s, i - 1) == x) | (F.get(s, i + 1) == x),
+                F.lit(False),
+            )
+
+        dup_cnt = F.size(F.filter(idx, isdup)).cast("long")
+        zero = F.lit(0).cast("long")
+        dup_chars = F.aggregate(
+            idx, zero,
+            lambda a, i: a + F.when(isdup(i), F.length(F.get(s, i)))
+            .otherwise(0),
+        )
+        tot_chars = F.aggregate(s, zero, lambda a, x: a + F.length(x))
+        one = F.lit(1).cast("long")
+        return F.struct(
+            F.round(
+                dup_cnt.cast("double") / F.greatest(n.cast("long"), one),
+                6,
+            ).alias("dup_line_frac"),
+            F.round(
+                dup_chars.cast("double") / F.greatest(tot_chars, one), 6
+            ).alias("dup_line_char_frac"),
+        )
+
+    return bind_once(F.array_sort(_gopher_lines(text)), per_sorted)
+
+
+def _word_ngrams(words, n: int) -> Column:
+    def mk(ws):
+        cnt = F.greatest(F.size(ws) - F.lit(n - 1), F.lit(0))
+        idx = F.when(cnt > 0, F.sequence(F.lit(1), cnt)).otherwise(
+            _empty_ints()
+        )
+        return F.transform(idx, lambda i: F.array_join(F.slice(ws, i, n), " "))
+
+    return bind_once(words, mk)
+
+
+def top_ngram_char_frac(text, n: int) -> Column:
+    """Fraction of normalized-text chars covered by the most frequent
+    word n-gram: fold over the SORTED gram array tracking the longest
+    run (ties keep the first = lexicographically smallest gram)."""
+    norm_len = F.length(normalized(F.coalesce(text, F.lit(""))))
+
+    def per_sorted(s):
+        acc0 = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+            F.lit(None).cast("string").alias("bestg"),
+        )
+
+        def merge(acc, x):
+            run2 = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+                F.lit(1).cast("long")
+            )
+            better = run2 > acc["best"]
+            return F.struct(
+                x.alias("prev"),
+                run2.alias("run"),
+                F.when(better, run2).otherwise(acc["best"]).alias("best"),
+                F.when(better, x).otherwise(acc["bestg"]).alias("bestg"),
+            )
+
+        top = F.aggregate(s, acc0, merge)
+        chars = F.when(
+            top["best"] > 0, top["best"] * F.length(top["bestg"])
+        ).otherwise(F.lit(0)).cast("double")
+        return F.round(
+            F.least(
+                chars / F.greatest(norm_len, F.lit(1)).cast("double"),
+                F.lit(1.0),
+            ),
+            6,
+        )
+
+    return bind_once(
+        F.array_sort(_word_ngrams(_gopher_words(text), n)), per_sorted
+    )
+
+
+def dup_ngram_char_frac(text, n: int) -> Column:
+    """Fraction of normalized-text chars inside word n-grams occurring
+    more than once (every instance counted, overlaps included — the
+    Gopher approximation), capped at 1."""
+    norm_len = F.length(normalized(F.coalesce(text, F.lit(""))))
+
+    def per_sorted(s):
+        acc0 = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("chars"),
+        )
+
+        def merge(acc, x):
+            run2 = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+                F.lit(1).cast("long")
+            )
+            # run hits 2: both members enter the dup set; past 2: one more
+            add = (
+                F.when(run2 == 2, F.length(x) * 2)
+                .when(run2 > 2, F.length(x))
+                .otherwise(0)
+            )
+            return F.struct(
+                x.alias("prev"),
+                run2.alias("run"),
+                (acc["chars"] + add).alias("chars"),
+            )
+
+        dup_chars = F.aggregate(s, acc0, merge)["chars"].cast("double")
+        return F.round(
+            F.least(
+                dup_chars / F.greatest(norm_len, F.lit(1)).cast("double"),
+                F.lit(1.0),
+            ),
+            6,
+        )
+
+    return bind_once(
+        F.array_sort(_word_ngrams(_gopher_words(text), n)), per_sorted
+    )
+
+
+def symbol_word_ratio(text) -> Column:
+    """'#', '...' and '…' occurrences per word (non-overlapping regex
+    count — identical semantics in Java regex and RE2/DuckDB)."""
+    g = F.coalesce(text, F.lit(""))
+    nsym = F.regexp_count(g, F.lit(r"#|\.{3}|…"))
+    return F.round(
+        nsym.cast("double") / F.greatest(token_count(g), F.lit(1)).cast("double"),
+        6,
+    )
+
+
+def alpha_word_frac(text) -> Column:
+    """Fraction of words containing at least one alphabetic character
+    (latin or cyrillic; normalized text is lowercase)."""
+    return bind_once(
+        _gopher_words(text),
+        lambda ws: F.round(
+            F.size(F.filter(ws, lambda w: w.rlike("[a-zа-яё]"))).cast("double")
+            / F.greatest(F.size(ws), F.lit(1)).cast("double"),
+            6,
+        ),
+    )
+
+
+def gopher_metrics(text) -> dict:
+    """All Gopher-rule columns keyed by their output name."""
+    dl = dup_line_stats(text)
+    return {
+        "dup_line_frac": dl["dup_line_frac"],
+        "dup_line_char_frac": dl["dup_line_char_frac"],
+        "top2gram_frac": top_ngram_char_frac(text, 2),
+        "top3gram_frac": top_ngram_char_frac(text, 3),
+        "dup5gram_frac": dup_ngram_char_frac(text, 5),
+        "symbol_word_ratio": symbol_word_ratio(text),
+        "alpha_word_frac": alpha_word_frac(text),
+    }
+
+
+#: Gopher rule thresholds (Rae et al. 2021 A1); metric -> (min, max).
+GOPHER_THRESHOLDS = {
+    "n_tokens": (50, 100_000),
+    "mean_word_len": (3.0, 10.0),
+    "symbol_word_ratio": (None, 0.1),
+    "alpha_word_frac": (0.8, None),
+    "dup_line_frac": (None, 0.3),
+    "dup_line_char_frac": (None, 0.2),
+    "top2gram_frac": (None, 0.2),
+    "top3gram_frac": (None, 0.18),
+    "dup5gram_frac": (None, 0.15),
+}
+
+
+def gopher_gate(metric_cols: dict, thresholds: Optional[dict] = None) -> Column:
+    """Boolean pass/fail over already-computed metric columns. Missing
+    metrics are skipped, so callers gate on any subset."""
+    th = thresholds or GOPHER_THRESHOLDS
+    out = F.lit(True)
+    for name, (lo, hi) in th.items():
+        if name not in metric_cols:
+            continue
+        c = metric_cols[name]
+        if lo is not None:
+            out = out & (c >= F.lit(lo))
+        if hi is not None:
+            out = out & (c <= F.lit(hi))
+    return out
 
 
 def fingerprint(text) -> Column:

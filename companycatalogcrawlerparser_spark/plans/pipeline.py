@@ -54,6 +54,10 @@ class CurationConfig:
     text_col: str = "text"
     # stage 1 — quality gate
     quality_min: float = 0.25
+    # stage 1b — Gopher/MassiveText repetition + format rules (r7;
+    # off by default so the measured XL chain stays the default chain)
+    gopher: bool = False
+    gopher_thresholds: Optional[dict] = None
     # stage 2 — near-dup dedup
     jaccard_threshold: float = 0.5
     max_bucket: Optional[int] = 256
@@ -111,6 +115,14 @@ def curate_training_corpus(
         TQ.token_count(F.col(txc)).alias("n_tok"),
         TQ.quality_score(F.col(txc)).alias("q"),
     ).filter(F.col("q") >= cfg.quality_min)
+
+    # 1b. optional Gopher repetition/format rules — still one scan: the
+    # metric columns are shuffle-free array expressions, so the gate
+    # composes into the same projection + filter as stage 1
+    if cfg.gopher:
+        gm = TQ.gopher_metrics(F.col(txc))
+        gm["n_tokens"] = F.col("n_tok")
+        gated = gated.filter(TQ.gopher_gate(gm, cfg.gopher_thresholds))
 
     # 2. near-dup survivors: two candidate modalities (band-collision +
     # winnowing) → exact verify on candidates only → component clustering

@@ -108,6 +108,26 @@ class TestCuratePipeline:
         # shard-sequential read is the global training order
         assert seen_pos == sorted(seen_pos)
 
+    def test_gopher_stage(self, spark):
+        import dataclasses
+
+        docs = _corpus(spark).unionByName(
+            spark.createDataFrame(
+                [(400, "spam ham " * 40)], "doc_id long, text string"
+            )
+        )
+        # fixture docs are short, so gate only on the repetition rule
+        cfg = dataclasses.replace(
+            CFG, gopher=True,
+            gopher_thresholds={"dup5gram_frac": (None, 0.15)},
+        )
+        kept = {r["doc_id"] for r in
+                curate_training_corpus(docs, None, cfg).collect()}
+        assert 400 not in kept and 0 in kept and 100 in kept
+        kept_off = {r["doc_id"] for r in
+                    curate_training_corpus(docs, None, CFG).collect()}
+        assert 400 in kept_off
+
     def test_observations_wired(self, spark):
         from pyspark.sql import Observation
 
