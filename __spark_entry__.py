@@ -697,7 +697,32 @@ def q_corpus_curation(spark, sf_dir):
         F.lit(None).cast("string").alias("grp"),
         F.col("train_pos").alias("val"),
     )
-    return samp.unionByName(pack).unionByName(order)
+    # kind='cap' (r7): per-domain cap (Common-Crawl-style rebalancing)
+    # over a three-tier synthetic domain map — one mega domain (~1/3 of
+    # docs), four mid domains (~42 docs each, over the cap of 20), ten
+    # tail domains (~17 each, under) — so the hash pins BOTH phases:
+    # md5-permutation ranks for over-cap domains (val = rank) and the
+    # untouched NULL-rank passthrough for under-cap ones. The twin is
+    # the naive one-task-per-domain window the operator exists to avoid.
+    dom = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("mega.example"))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("mid"), (F.col("doc_id") % 4).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("tail"), (F.col("doc_id") % 30).cast("string"))
+        )
+    )
+    capd = CU.cap_per_domain(
+        d.select("doc_id").withColumn("domain", dom), "domain", 20
+    ).select(
+        F.lit("cap").alias("kind"),
+        "doc_id",
+        F.col("domain").alias("grp"),
+        F.col("domain_rank").alias("val"),
+    )
+    return samp.unionByName(pack).unionByName(order).unionByName(capd)
 
 
 def q_neardup_pairs(spark, sf_dir):
@@ -1464,12 +1489,30 @@ pk AS (
 ord_ AS (
   SELECT 'order' AS kind, doc_id, CAST(NULL AS VARCHAR) AS grp,
          row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1 AS val
-  FROM documents)
+  FROM documents),
+dom AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'mega.example'
+              WHEN doc_id % 3 = 1 THEN 'mid' || CAST(doc_id % 4 AS VARCHAR)
+              ELSE 'tail' || CAST(doc_id % 30 AS VARCHAR) END AS domain
+  FROM documents),
+domc AS (SELECT domain, count(*) AS n FROM dom GROUP BY domain),
+domr AS (
+  SELECT doc_id, dom.domain, n,
+         row_number() OVER (PARTITION BY dom.domain
+                            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS r
+  FROM dom JOIN domc ON dom.domain = domc.domain),
+cap_ AS (
+  SELECT 'cap' AS kind, doc_id, domain AS grp,
+         CASE WHEN n > 20 THEN r END AS val
+  FROM domr WHERE n <= 20 OR r <= 20)
 SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM samp
 UNION ALL
 SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM pk
 UNION ALL
 SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM ord_
+UNION ALL
+SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM cap_
 """,
         # one-shot twin of the STREAMING dedup row: identical signatures,
         # but the cap is an arrival-RANK predicate (first cap admitted),

@@ -40,6 +40,7 @@ __all__ = [
     "pack_shards",
     "shuffle_order_key",
     "global_order_index",
+    "cap_per_domain",
 ]
 
 
@@ -170,6 +171,108 @@ def pack_shards(
         )
         .drop("__pid", "__c", "__off")
     )
+
+
+def cap_per_domain(
+    df: DataFrame,
+    domain_col: str,
+    cap: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Domain rebalancing: keep at most ``cap`` rows per ``domain_col``
+    group, selecting the survivors deterministically (smallest
+    :func:`shuffle_order_key` — an md5 permutation, so the kept subset is
+    a uniform-but-reproducible sample of each over-cap domain, not a
+    doc_id-ordered prefix that would bias toward a domain's oldest
+    pages). Web corpora need this because the domain distribution is
+    power-law — without a cap a handful of mega-hosts dominate the
+    training mix. Adds ``domain_rank`` (1-based rank within the domain in
+    permutation order) for rows of OVER-cap domains; rows of domains
+    at-or-under the cap pass through untouched with ``domain_rank`` NULL
+    — the NULL/non-NULL split is itself a verifiable signal that the
+    two-phase gate classified every domain correctly.
+
+    Skew-aware two-phase plan (the naive
+    ``row_number() OVER (PARTITION BY domain)`` puts an entire mega-host
+    in ONE task — the exact skew the cap exists to fix):
+
+    1. per-domain counts (map-side partial agg — only (domain, n) pairs
+       shuffle) pick the over-cap domain set, which rides a BROADCAST
+       semi/anti join: the under-cap bulk of the corpus is never
+       shuffled at all;
+    2. only over-cap rows are ranked, via the :func:`pack_shards`
+       prefix-sum construction generalized per domain:
+       ``repartitionByRange(domain, order_key)`` spreads a hot domain
+       contiguously ACROSS partitions (ascending partition id ==
+       ascending order_key within the domain), per-(partition, domain)
+       local running counts parallelize, and the cross-partition offsets
+       come from a totals frame of ≤ #partitions rows per over-cap
+       domain, windowed PARTITIONED BY domain — never a single global
+       task. The offsets frame (#over-cap-domains × #partitions tiny
+       rows) is broadcast back.
+
+    Scan trade-off, stated honestly: the under/over split reads the
+    input relation in two plan branches (plus the counts pass), so an
+    uncached 100 TB input is scanned up to three times. That is the
+    right trade when over-cap rows are a minority — two extra columnar
+    scans cost less than range-shuffling the entire corpus, which is
+    what the rank-everything single-branch alternative does. Callers
+    holding the input in memory/disk cache pay nothing extra.
+
+    Requires ``key_col`` globally unique (md5 ties would make ranks
+    arbitrary). NULL domains never match the broadcast join and so pass
+    through uncapped — treat NULL as "no domain", pre-coalesce if NULL
+    should be a real group.
+    """
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    over = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > cap)
+        .select(domain_col)
+    )
+    under = df.join(F.broadcast(over), domain_col, "left_anti").withColumn(
+        "domain_rank", F.lit(None).cast("long")
+    )
+    hot = df.join(F.broadcast(over), domain_col, "left_semi").withColumn(
+        "__ok", shuffle_order_key(F.col(key_col), salt)
+    )
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # same AQE hazard as pack_shards: __pid must be frozen as data
+    # before the cumsum/totals branches fan out (see pack_shards)
+    r = (
+        hot.repartitionByRange(n, F.col(domain_col), F.col("__ok"))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_in = (
+        Window.partitionBy("__pid", domain_col)
+        .orderBy("__ok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = r.withColumn("__c", F.count(F.lit(1)).over(w_in))
+    totals = cum.groupBy("__pid", domain_col).agg(F.max("__c").alias("__t"))
+    w_off = (
+        Window.partitionBy(domain_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        "__pid",
+        domain_col,
+        F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off"),
+    )
+    kept = (
+        cum.join(F.broadcast(offs), ["__pid", domain_col])
+        .withColumn("domain_rank", (F.col("__off") + F.col("__c")))
+        .filter(F.col("domain_rank") <= cap)
+        .drop("__pid", "__ok", "__c", "__off")
+    )
+    cols = df.columns + ["domain_rank"]
+    return under.select(*cols).unionByName(kept.select(*cols))
 
 
 def shuffle_order_key(key: Column, salt: str = "") -> Column:

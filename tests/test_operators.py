@@ -2092,6 +2092,72 @@ class TestCuration:
         assert other != want
         assert sorted(other.values()) == list(range(500))
 
+    def test_cap_per_domain_matches_python(self, spark):
+        """Domain rebalancing: over-cap domains keep exactly the cap-many
+        smallest md5-permutation keys (rank exported), under-cap domains
+        pass through rank-NULL — vs pure Python, at two partition
+        counts."""
+        import hashlib
+        from collections import defaultdict
+
+        from companycatalogcrawlerparser_spark.operators import curation as CU
+
+        rows = []
+        for i in range(600):
+            if i % 2 == 0:
+                dom = "mega"  # 300 rows — the skew the cap exists for
+            elif i % 4 == 1:
+                dom = f"mid{i % 3}"  # 3 domains × ~50 rows, over cap
+            else:
+                dom = f"tail{i % 40}"  # 10 domains × ~15 rows, under cap
+            rows.append((i, dom))
+        df = spark.createDataFrame(rows, "doc_id long, domain string")
+        groups = defaultdict(list)
+        for i, d in rows:
+            groups[d].append(i)
+        cap = 25
+        want = {}
+        for d, ids in groups.items():
+            if len(ids) <= cap:
+                want.update({i: None for i in ids})
+            else:
+                ranked = sorted(
+                    ids,
+                    key=lambda i: hashlib.md5(str(i).encode()).hexdigest(),
+                )
+                want.update({i: r for r, i in enumerate(ranked[:cap], 1)})
+        for n_parts in (3, 16):
+            got = {
+                r["doc_id"]: r["domain_rank"]
+                for r in CU.cap_per_domain(
+                    df, "domain", cap, num_partitions=n_parts
+                ).collect()
+            }
+            assert got == want, n_parts
+        # survivor counts: min(cap, domain size) per domain
+        sizes = defaultdict(int)
+        for i in got:
+            sizes[dict(rows)[i]] += 1
+        assert sizes["mega"] == cap
+        assert all(sizes[f"mid{k}"] == cap for k in range(3))
+        assert all(v <= cap for v in sizes.values())
+        # NULL domains are "no domain": never capped, rank stays NULL
+        nulls = spark.createDataFrame(
+            [(i, None) for i in range(40)], "doc_id long, domain string"
+        )
+        out = CU.cap_per_domain(nulls, "domain", 5).collect()
+        assert len(out) == 40
+        assert all(r["domain_rank"] is None for r in out)
+        # salt selects an independent survivor set for the hot domain
+        alt = {
+            r["doc_id"]: r["domain_rank"]
+            for r in CU.cap_per_domain(df, "domain", cap, salt="s1").collect()
+        }
+        assert set(alt) != set(got)
+        assert sorted(v for v in alt.values() if v is not None) == sorted(
+            v for v in got.values() if v is not None
+        )
+
     def test_pack_shards_branch_consistent_at_volume(self, spark):
         """Regression (r6 XL): __pid from spark_partition_id is a
         READ-side value — without the in-operator localCheckpoint, AQE
