@@ -5,7 +5,8 @@ contamination / pii / curation / storage.snapshots); this module is the
 chain a 100 TB user actually runs, as ONE callable: quality gate →
 near-dup survivors (minhash ∪ winnow candidates → exact-Jaccard verify →
 connected-component clustering, one representative kept) → benchmark
-decontamination → PII redaction → deterministic stratified sampling →
+decontamination → PII redaction → optional per-domain cap (Common-Crawl
+style rebalancing) → deterministic stratified sampling →
 training shuffle + global order index → token-budget shard packing →
 (optionally) the atomic per-shard trainer artifact via
 ``SnapshotStore.commit_shards``.
@@ -66,6 +67,11 @@ class CurationConfig:
     contam_threshold: float = 0.5
     # stage 4 — PII redaction
     redact: bool = True
+    # stage 4b — per-domain cap (Common-Crawl-style rebalancing); both
+    # must be set to enable; domain_col must exist on the input docs
+    domain_col: Optional[str] = None
+    domain_cap: Optional[int] = None
+    domain_salt: str = ""
     # stage 5 — deterministic stratified sampling (md5 gate, /10000)
     sample_rates: dict = field(default_factory=lambda: {"en": 8000})
     default_keep: int = 500
@@ -96,8 +102,9 @@ def curate_training_corpus(
     Laziness contract: the returned frame's lineage contains two EAGER
     materialization points the constituent operators require —
     ``jaccard_verify``'s localCheckpoint of the candidate pairs and
-    ``pack_shards``'s partition-id freeze (×2: order index + packing).
-    Everything else stays lazy until the caller acts.
+    ``pack_shards``'s partition-id freeze (×2: order index + packing;
+    +1 when the optional domain-cap stage is enabled, for its hot-domain
+    rank). Everything else stays lazy until the caller acts.
 
     Pass ``observations={"minhash": Observation(), "winnow":
     Observation()}`` to receive the dedup skip/cap metrics in the same
@@ -108,9 +115,11 @@ def curate_training_corpus(
     idc, txc = cfg.id_col, cfg.text_col
 
     # 1. quality gate: langid + token count + quality score, one scan
+    carry = [F.col(cfg.domain_col)] if cfg.domain_col else []
     gated = docs.select(
         F.col(idc),
         F.col(txc),
+        *carry,
         TQ.predict_lang(F.col(txc)).alias("lang"),
         TQ.token_count(F.col(txc)).alias("n_tok"),
         TQ.quality_score(F.col(txc)).alias("q"),
@@ -157,6 +166,21 @@ def curate_training_corpus(
     # 4. PII redaction (in place on the text column)
     if cfg.redact:
         survivors = survivors.withColumn(txc, PII.redact_pii(F.col(txc)))
+
+    # 4b. optional per-domain cap (Common-Crawl-style rebalancing):
+    # deterministic md5-permutation survivors per over-cap domain; the
+    # under-cap bulk never shuffles (curation.cap_per_domain) — placed
+    # after dedup/decontamination so the cap counts CLEAN pages, and
+    # before sampling so rates apply to the rebalanced mix
+    if cfg.domain_col is not None and cfg.domain_cap is not None:
+        survivors = CUR.cap_per_domain(
+            survivors,
+            cfg.domain_col,
+            cfg.domain_cap,
+            key_col=idc,
+            salt=cfg.domain_salt,
+            num_partitions=cfg.num_partitions,
+        ).drop("domain_rank")
 
     # 5. deterministic stratified sampling by language
     kept = CUR.stratified_sample(

@@ -128,6 +128,43 @@ class TestCuratePipeline:
                     curate_training_corpus(docs, None, CFG).collect()}
         assert 400 in kept_off
 
+    def test_domain_cap_stage(self, spark):
+        import dataclasses
+
+        rows = [
+            (i, f"document {i} {_words(str(i))}",
+             "mega.example" if i % 2 == 0 else f"tail{i % 5}.example")
+            for i in range(60)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, domain string"
+        )
+        cfg = dataclasses.replace(
+            CFG, domain_col="domain", domain_cap=10
+        )
+        out = curate_training_corpus(docs, None, cfg)
+        got = out.collect()
+        # helper rank column is internal; domain itself is carried
+        assert "domain_rank" not in out.columns
+        from collections import Counter
+
+        per = Counter(r["domain"] for r in got)
+        assert per["mega.example"] == 10  # 30 clean docs, capped
+        assert all(
+            per[f"tail{k}.example"] == 6 for k in range(5)
+        )  # under cap: untouched
+        # the capped survivor set is the md5-permutation prefix
+        import hashlib
+
+        mega = sorted(
+            (i for i, _, d in rows if d == "mega.example"),
+            key=lambda i: hashlib.md5(str(i).encode()).hexdigest(),
+        )[:10]
+        assert {r["doc_id"] for r in got if r["domain"] == "mega.example"
+                } == set(mega)
+        # cap off → everything survives
+        assert curate_training_corpus(docs, None, CFG).count() == 60
+
     def test_observations_wired(self, spark):
         from pyspark.sql import Observation
 
