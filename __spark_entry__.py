@@ -557,8 +557,33 @@ def q_dedup_groups(spark, sf_dir):
     min doc_id wins; sig = content_hash); kind='simhash' is the per-doc
     16-bit SimHash signature plus its bucket stats (n_docs + min_id per
     signature via a window — bounded, never a collected id list). Each
-    kind keeps its own SQL twin inside the union."""
+    kind keeps its own SQL twin inside the union.
+
+    r7: + kind='spans' — exact-substring duplicate spans (Lee et al.
+    2021 ExactSubstr re-expressed relationally, operators.dedup.
+    duplicate_spans; n=15 tokens, min_count=2 — the fixture docs are
+    10-99 tokens, so 15 marks the real near-dup runs: ~45 docs carry a
+    marked window at sf0.01) with n_docs/ref_id carrying span_start/
+    span_end; and kind='excised' — md5 of the span-removed text plus
+    n_removed_tokens per doc (remove_duplicate_spans), so BOTH the span
+    arithmetic and the remove-from-middle rewrite sit under the hash
+    signal."""
     d = _t_wide(spark, sf_dir, "documents")
+    span_df = D.duplicate_spans(d, n=15, min_count=2)
+    spans = span_df.select(
+        F.lit("spans").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("sig"),
+        F.col("span_start").alias("n_docs"),
+        F.col("span_end").alias("ref_id"),
+    )
+    excised = D.remove_duplicate_spans(d, n=15, min_count=2, spans=span_df).select(
+        F.lit("excised").alias("kind"),
+        "doc_id",
+        F.md5("text").alias("sig"),
+        F.col("n_removed_tokens").alias("n_docs"),
+        F.lit(None).cast("long").alias("ref_id"),
+    )
     exact = D.exact_dedup(d).select(
         F.lit("exact").alias("kind"),
         "doc_id",
@@ -575,7 +600,7 @@ def q_dedup_groups(spark, sf_dir):
         F.count("*").over(w).cast("long").alias("n_docs"),
         F.min("doc_id").over(w).alias("ref_id"),
     )
-    return exact.unionByName(sim)
+    return exact.unionByName(sim).unionByName(spans).unionByName(excised)
 
 
 def q_minhash(spark, sf_dir):
@@ -1345,8 +1370,15 @@ a6 AS (SELECT 'a6' AS kind, CAST(company_id % 10 AS BIGINT) AS chunk_id,
        FROM fe GROUP BY 2)
 SELECT * FROM o6 UNION ALL SELECT * FROM a6
 """,
-        # folded (registry cap): exact-dedup survivors + simhash groups,
-        # each kind the exact SQL its standalone row carried
+        # folded (registry cap): exact-dedup survivors + simhash groups +
+        # (r7) ExactSubstr duplicate spans and their excised texts —
+        # each kind the exact SQL its standalone row would carry. Span
+        # twin: hash every 15-token window of the normalized text
+        # (identical 60-bit md5-prefix hash on both engines), keep
+        # hashes seen >= 2 times corpus-wide, merge marked window starts
+        # per doc with a gaps-and-islands window (new island when the
+        # start gap exceeds n), then rebuild each doc's text from the
+        # tokens outside every span.
         "dedup_groups": f"""
 WITH h AS (SELECT doc_id, md5({norm_text}) AS content_hash FROM documents),
 r AS (SELECT doc_id, content_hash,
@@ -1354,7 +1386,38 @@ r AS (SELECT doc_id, content_hash,
 toks AS (
   SELECT DISTINCT doc_id, token
   FROM (SELECT doc_id, unnest(string_split({norm_text}, ' ')) AS token FROM documents)),
-ssig AS (SELECT doc_id, {simhash_bits} AS simhash FROM toks GROUP BY doc_id)
+ssig AS (SELECT doc_id, {simhash_bits} AS simhash FROM toks GROUP BY doc_id),
+tok AS (SELECT doc_id, text, string_split({norm_text}, ' ') AS tl FROM documents),
+wpos AS (
+  SELECT doc_id, u.i - 1 AS pos,
+         CAST(('0x' || substr(md5(array_to_string(tl[u.i:u.i+14], ' ')), 1, 15)) AS BIGINT) AS wh
+  FROM tok, UNNEST(generate_series(1, greatest(0, len(tl) - 14))) AS u(i)),
+dupw AS (SELECT wh FROM wpos GROUP BY wh HAVING count(*) >= 2),
+mk AS (SELECT doc_id, pos FROM wpos JOIN dupw USING (wh)),
+isl AS (SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+               OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 15
+             THEN 1 ELSE 0 END AS nw
+        FROM mk),
+grp AS (SELECT doc_id, pos,
+        sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl),
+spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 15 AS e
+          FROM grp GROUP BY doc_id, g),
+tpos AS (SELECT doc_id, tl[u.i] AS tokn, u.i - 1 AS p
+         FROM tok, UNNEST(generate_series(1, len(tl))) AS u(i)),
+kept AS (SELECT tp.doc_id, tp.tokn, tp.p FROM tpos tp
+         WHERE NOT EXISTS (SELECT 1 FROM spans s
+                           WHERE s.doc_id = tp.doc_id
+                             AND tp.p >= s.s AND tp.p < s.e)),
+keptagg AS (SELECT doc_id, string_agg(tokn, ' ' ORDER BY p) AS txt,
+                   count(*) AS nk FROM kept GROUP BY doc_id),
+excised AS (
+  SELECT t.doc_id,
+         CASE WHEN t.text IS NULL THEN NULL
+              ELSE md5(coalesce(k.txt, '')) END AS sig,
+         CASE WHEN t.text IS NULL THEN 0
+              ELSE len(t.tl) - coalesce(k.nk, 0) END AS n_removed
+  FROM tok t LEFT JOIN keptagg k USING (doc_id))
 SELECT 'exact' AS kind, doc_id, content_hash AS sig,
        CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS ref_id
 FROM r WHERE rn = 1
@@ -1363,6 +1426,14 @@ SELECT 'simhash' AS kind, doc_id, simhash AS sig,
        count(*) OVER (PARTITION BY simhash) AS n_docs,
        min(doc_id) OVER (PARTITION BY simhash) AS ref_id
 FROM ssig
+UNION ALL
+SELECT 'spans' AS kind, doc_id, CAST(NULL AS VARCHAR) AS sig,
+       CAST(s AS BIGINT) AS n_docs, CAST(e AS BIGINT) AS ref_id
+FROM spans
+UNION ALL
+SELECT 'excised' AS kind, doc_id, sig,
+       CAST(n_removed AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS ref_id
+FROM excised
 """,
         # folded (registry cap): signature unpivot + banded-LSH pairs
         "minhash": f"""
