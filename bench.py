@@ -186,7 +186,7 @@ FOLDED_KINDS = {
     "events_windows": ["window", "audit"],
     "warc_ingest": ["whole", "ranged", "indexed"],
     "corpus_curation": ["sample", "pack", "order"],
-    "dedup_groups": ["exact", "simhash"],
+    "dedup_groups": ["exact", "simhash", "spans", "excised"],
     "minhash": ["sig", "pairs"],
     "graph_ops": ["cc", "pr"],
 }

@@ -5,7 +5,8 @@ contamination / pii / curation / storage.snapshots); this module is the
 chain a 100 TB user actually runs, as ONE callable: quality gate →
 near-dup survivors (minhash ∪ winnow candidates → exact-Jaccard verify →
 connected-component clustering, one representative kept) → benchmark
-decontamination → PII redaction → optional per-domain cap (Common-Crawl
+decontamination → optional exact-substring span removal (Lee et al.
+2021) → PII redaction → optional per-domain cap (Common-Crawl
 style rebalancing) → deterministic stratified sampling →
 training shuffle + global order index → token-budget shard packing →
 (optionally) the atomic per-shard trainer artifact via
@@ -65,6 +66,11 @@ class CurationConfig:
     # stage 3 — decontamination (skipped when benchmark is None)
     contam_k: int = 8
     contam_threshold: float = 0.5
+    # stage 3b — exact-substring span removal (Lee et al. 2021;
+    # off by default so the measured XL chain stays the default chain)
+    exactsubstr: bool = False
+    exactsubstr_window: int = 50
+    exactsubstr_min_count: int = 2
     # stage 4 — PII redaction
     redact: bool = True
     # stage 4b — per-domain cap (Common-Crawl-style rebalancing); both
@@ -161,6 +167,28 @@ def curate_training_corpus(
         )
         survivors = survivors.join(
             scores.filter(~F.col("contaminated")).select(idc), idc
+        )
+
+    # 3b. optional exact-substring span removal: cross-doc duplicated
+    # RUNS that survive document-level near-dup dedup (boilerplate,
+    # quoted passages, templates) are excised from every occurrence
+    # (operators.dedup.remove_duplicate_spans). Placed after
+    # decontamination so the benchmark-overlap decision sees the
+    # ORIGINAL text (conservative — excision could otherwise remove the
+    # very overlap being flagged), and before PII redaction so the
+    # redactor sees the final text. Token counts are recomputed — pack
+    # budgets must see post-removal lengths; the text column becomes the
+    # operator's normalized token form.
+    if cfg.exactsubstr:
+        survivors = D.remove_duplicate_spans(
+            survivors,
+            n=cfg.exactsubstr_window,
+            min_count=cfg.exactsubstr_min_count,
+            id_col=idc,
+            text_col=txc,
+        ).drop("n_removed_tokens")
+        survivors = survivors.withColumn(
+            "n_tok", TQ.token_count(F.col(txc))
         )
 
     # 4. PII redaction (in place on the text column)

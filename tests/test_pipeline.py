@@ -128,6 +128,41 @@ class TestCuratePipeline:
                     curate_training_corpus(docs, None, CFG).collect()}
         assert 400 in kept_off
 
+    def test_exactsubstr_stage(self, spark):
+        import dataclasses
+
+        # two docs sharing a 6-token boilerplate run but otherwise far
+        # apart in Jaccard space: both SURVIVE document-level dedup, and
+        # the exactsubstr stage excises the shared run from BOTH
+        boiler = "standard footer legal notice applies here"
+        docs = _corpus(spark).unionByName(
+            spark.createDataFrame(
+                [
+                    (500, f"{boiler} {_words('a')}"),
+                    (501, f"{boiler} {_words('b')}"),
+                ],
+                "doc_id long, text string",
+            )
+        )
+        cfg = dataclasses.replace(
+            CFG, exactsubstr=True, exactsubstr_window=4
+        )
+        rows = {r["doc_id"]: r for r in
+                curate_training_corpus(docs, _bench(spark), cfg).collect()}
+        assert 500 in rows and 501 in rows
+        for i in (500, 501):
+            assert "footer" not in rows[i]["text"]
+            assert rows[i]["text"].count(" ") == 19  # 20 hex words kept
+            # pack budgets must see POST-removal token counts
+            assert rows[i]["n_tok"] == 20
+        # untouched docs keep their text (normalized form) and counts
+        assert rows[0]["n_tok"] == 22
+        # stage off → boilerplate retained
+        rows_off = {r["doc_id"]: r for r in
+                    curate_training_corpus(docs, _bench(spark), CFG)
+                    .collect()}
+        assert "footer" in rows_off[500]["text"]
+
     def test_domain_cap_stage(self, spark):
         import dataclasses
 
