@@ -28,6 +28,7 @@ from companycatalogcrawlerparser_spark.functions import predicates as P
 from companycatalogcrawlerparser_spark.operators import contamination as CT
 from companycatalogcrawlerparser_spark.operators import curation as CU
 from companycatalogcrawlerparser_spark.operators import dedup as D
+from companycatalogcrawlerparser_spark.operators import dsir as DSR
 from companycatalogcrawlerparser_spark.operators import linkgraph as LG
 from companycatalogcrawlerparser_spark.operators import pii as PII
 from companycatalogcrawlerparser_spark.operators import similarity as SIM
@@ -817,7 +818,16 @@ def q_text_metrics(spark, sf_dir):
     run and symbol chars, so every rule fires on a real subset; the
     Spark side is the shuffle-free sorted-array-run formulation, the
     oracle below the naive unnest→GROUP BY relational one — the hash
-    compares two independent formulations of the pinned definitions."""
+    compares two independent formulations of the pinned definitions.
+
+    r7-late: + DSIR importance-resampling columns (operators.dsir, Xie
+    et al. 2023): target = every fifth doc (a synthetic "high-quality"
+    slice), raw = the full corpus, hashed bigrams in 512 buckets.
+    dsir_score = the Laplace-smoothed log importance ratio summed over
+    the doc's bigram occurrences (rounded 6dp in both engines — the
+    established float idiom); n_features is the integer-exact occurrence
+    count, so the feature extraction is pinned exactly even where the
+    float rounds."""
     d = _t_wide(spark, sf_dir, "documents")
     feats = TQ.quality_features(F.col("text"))
     k7 = (F.col("doc_id") % 7).cast("string")
@@ -851,6 +861,15 @@ def q_text_metrics(spark, sf_dir):
             ),
         ).otherwise(F.lit("")),
     )
+    target = d.filter(F.col("doc_id") % 5 == 0)
+    ratios = DSR.dsir_log_ratios(target, d, num_buckets=512)
+    dsir = DSR.dsir_scores(
+        d.select("doc_id", "text"), ratios, num_buckets=512
+    ).select(
+        "doc_id",
+        F.round("dsir_score", 6).alias("dsir_score"),
+        "n_features",
+    )
     return d.select(
         "doc_id",
         TQ.predict_lang(F.col("text")).alias("pred_lang"),
@@ -867,7 +886,7 @@ def q_text_metrics(spark, sf_dir):
         F.md5(PII.redact_pii(pii_text)).alias("pii_fp"),
         *[v.alias(k) for k, v in gm.items()],
         TQ.gopher_gate(gm).alias("gopher_pass"),
-    )
+    ).join(dsir, "doc_id")
 
 
 def q_ann_bruteforce(spark, sf_dir):
@@ -1720,7 +1739,23 @@ gm AS (SELECT gn.doc_id,
        LEFT JOIN glm ON gn.doc_id = glm.doc_id
        LEFT JOIN (SELECT doc_id, chars FROM gt2 WHERE rn = 1) gt2 ON gn.doc_id = gt2.doc_id
        LEFT JOIN (SELECT doc_id, chars FROM gt3 WHERE rn = 1) gt3 ON gn.doc_id = gt3.doc_id
-       LEFT JOIN gd5 ON gn.doc_id = gd5.doc_id)
+       LEFT JOIN gd5 ON gn.doc_id = gd5.doc_id),
+-- DSIR twin: hashed-bigram buckets (same 60-bit md5-prefix idiom),
+-- Laplace-smoothed log ratio of target (doc_id % 5 = 0) vs raw (all),
+-- per-doc score = sum of ratios over bigram OCCURRENCES
+dsf AS (SELECT doc_id,
+        CAST(('0x' || substr(md5(array_to_string(dtl[u.i:u.i+1], ' ')), 1, 15)) AS BIGINT) % 512 AS bucket
+        FROM (SELECT doc_id, string_split({norm_text}, ' ') AS dtl FROM documents) dt,
+             UNNEST(generate_series(1, greatest(0, len(dtl) - 1))) AS u(i)),
+dall AS (SELECT unnest(generate_series(0, 511)) AS bucket),
+dlr AS (SELECT a.bucket,
+        ln((coalesce(t, 0) + 0.5) / ((SELECT count(*) FROM dsf WHERE doc_id % 5 = 0) + 256.0))
+      - ln((coalesce(r, 0) + 0.5) / ((SELECT count(*) FROM dsf) + 256.0)) AS log_ratio
+        FROM dall a
+        LEFT JOIN (SELECT bucket, count(*) AS t FROM dsf WHERE doc_id % 5 = 0 GROUP BY bucket) dtc USING (bucket)
+        LEFT JOIN (SELECT bucket, count(*) AS r FROM dsf GROUP BY bucket) drc USING (bucket)),
+dsc AS (SELECT doc_id, sum(log_ratio) AS sc, count(*) AS nf
+        FROM dsf JOIN dlr USING (bucket) GROUP BY doc_id)
 SELECT doc_id,
        CASE WHEN ({cyr}) > ({lat}) THEN 'ru'
             WHEN ({lat}) > ({cyr}) THEN 'en'
@@ -1747,8 +1782,10 @@ SELECT doc_id,
        (gm.symbol_word_ratio <= 0.1 AND gm.alpha_word_frac >= 0.8
         AND gm.dup_line_frac <= 0.3 AND gm.dup_line_char_frac <= 0.2
         AND gm.top2gram_frac <= 0.2 AND gm.top3gram_frac <= 0.18
-        AND gm.dup5gram_frac <= 0.15) AS gopher_pass
-FROM f JOIN gm USING (doc_id)
+        AND gm.dup5gram_frac <= 0.15) AS gopher_pass,
+       round(coalesce(dsc.sc, 0.0), 6) AS dsir_score,
+       CAST(coalesce(dsc.nf, 0) AS BIGINT) AS n_features
+FROM f JOIN gm USING (doc_id) LEFT JOIN dsc USING (doc_id)
 """,
         "ann_bruteforce": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
