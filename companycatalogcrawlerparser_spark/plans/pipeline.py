@@ -7,7 +7,8 @@ near-dup survivors (minhash ∪ winnow candidates → exact-Jaccard verify →
 connected-component clustering, one representative kept) → benchmark
 decontamination → optional exact-substring span removal (Lee et al.
 2021) → PII redaction → optional per-domain cap (Common-Crawl
-style rebalancing) → deterministic stratified sampling →
+style rebalancing) → optional DSIR importance resampling toward a
+target corpus (Xie et al. 2023) → deterministic stratified sampling →
 training shuffle + global order index → token-budget shard packing →
 (optionally) the atomic per-shard trainer artifact via
 ``SnapshotStore.commit_shards``.
@@ -41,6 +42,7 @@ from pyspark.sql import functions as F
 from ..operators import contamination as CT
 from ..operators import curation as CUR
 from ..operators import dedup as D
+from ..operators import dsir as DSIR
 from ..operators import pii as PII
 from ..operators import textquality as TQ
 
@@ -78,6 +80,13 @@ class CurationConfig:
     domain_col: Optional[str] = None
     domain_cap: Optional[int] = None
     domain_salt: str = ""
+    # stage 4c — DSIR importance resampling (enabled by passing
+    # dsir_target to curate_training_corpus AND setting dsir_k)
+    dsir_k: Optional[int] = None
+    dsir_n: int = 2
+    dsir_buckets: int = 10_000
+    dsir_gumbel: bool = True
+    dsir_salt: str = ""
     # stage 5 — deterministic stratified sampling (md5 gate, /10000)
     sample_rates: dict = field(default_factory=lambda: {"en": 8000})
     default_keep: int = 500
@@ -96,6 +105,7 @@ def curate_training_corpus(
     store=None,
     round_id: int = 1,
     observations: Optional[dict] = None,
+    dsir_target: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Run the full curation chain over ``docs`` (``id_col``,
     ``text_col``). Returns the packed training frame — one row per kept
@@ -209,6 +219,27 @@ def curate_training_corpus(
             salt=cfg.domain_salt,
             num_partitions=cfg.num_partitions,
         ).drop("domain_rank")
+
+    # 4c. optional DSIR importance resampling (Xie et al. 2023): keep
+    # the dsir_k docs whose hashed-n-gram distribution is most like
+    # ``dsir_target``, by deterministic Gumbel-top-k on the log
+    # importance ratio. The raw model is the CURRENT survivor set (the
+    # corpus actually being selected from); runs before stratified
+    # sampling so language caps apply to the resampled mix. The kept
+    # frame carries dsir_score through to the shards.
+    if dsir_target is not None and cfg.dsir_k is not None:
+        ratios = DSIR.dsir_log_ratios(
+            dsir_target, survivors, n=cfg.dsir_n,
+            num_buckets=cfg.dsir_buckets, id_col=idc, text_col=txc,
+        )
+        scored = DSIR.dsir_scores(
+            survivors, ratios, n=cfg.dsir_n,
+            num_buckets=cfg.dsir_buckets, id_col=idc, text_col=txc,
+        )
+        survivors = DSIR.dsir_select(
+            scored, cfg.dsir_k, id_col=idc, salt=cfg.dsir_salt,
+            gumbel=cfg.dsir_gumbel,
+        ).drop("select_key", "n_features")
 
     # 5. deterministic stratified sampling by language
     kept = CUR.stratified_sample(

@@ -200,6 +200,34 @@ class TestCuratePipeline:
         # cap off → everything survives
         assert curate_training_corpus(docs, None, CFG).count() == 60
 
+    def test_dsir_stage(self, spark):
+        import dataclasses
+
+        docs = _corpus(spark)
+        # target = the texts of docs 3 and 7 — those two docs (their
+        # bigram distributions) must dominate the importance ranking
+        target = spark.createDataFrame(
+            [(0, f"document 3 {_words('3')}"),
+             (1, f"document 7 {_words('7')}")],
+            "doc_id long, text string",
+        )
+        cfg = dataclasses.replace(
+            CFG, dsir_k=5, dsir_buckets=256, dsir_gumbel=False
+        )
+        out = curate_training_corpus(
+            docs, None, cfg, dsir_target=target
+        )
+        got = {r["doc_id"]: r for r in out.collect()}
+        assert len(got) == 5
+        assert 3 in got and 7 in got
+        assert "dsir_score" in out.columns
+        assert min(got[3]["dsir_score"], got[7]["dsir_score"]) > max(
+            r["dsir_score"] for i, r in got.items() if i not in (3, 7)
+        )
+        # stage off → no dsir column, nothing dropped by it
+        off = curate_training_corpus(docs, None, CFG)
+        assert "dsir_score" not in off.columns
+
     def test_observations_wired(self, spark):
         from pyspark.sql import Observation
 
