@@ -754,7 +754,28 @@ def q_corpus_curation(spark, sf_dir):
         F.col("domain").alias("grp"),
         F.col("domain_rank").alias("val"),
     )
-    return samp.unionByName(pack).unionByName(order).unionByName(capd)
+    # kind='chunk' (r7-late): fixed-length training-sequence splitting
+    # (curation.split_sequences, seq_len=16 over 10-99-token docs →
+    # 1-7 chunks/doc incl. kept tails); grp = seq index, val = the
+    # md5-derived integer of the chunk TEXT, so the exact token slicing
+    # is pinned, not just chunk counts. Bounded to doc_id < 500 (the
+    # whole sf0.01 fixture) like the span kinds.
+    chunk = CU.split_sequences(
+        d.filter(F.col("doc_id") < 500), 16
+    ).select(
+        F.lit("chunk").alias("kind"),
+        "doc_id",
+        F.col("seq_idx").cast("string").alias("grp"),
+        F.conv(F.substring(F.md5("seq_text"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("val"),
+    )
+    return (
+        samp.unionByName(pack)
+        .unionByName(order)
+        .unionByName(capd)
+        .unionByName(chunk)
+    )
 
 
 def q_neardup_pairs(spark, sf_dir):
@@ -1602,7 +1623,18 @@ domr AS (
 cap_ AS (
   SELECT 'cap' AS kind, doc_id, domain AS grp,
          CASE WHEN n > 20 THEN r END AS val
-  FROM domr WHERE n <= 20 OR r <= 20)
+  FROM domr WHERE n <= 20 OR r <= 20),
+-- chunk twin: whitespace tokens of the trimmed text in 16-token
+-- slices (tail kept), val = md5-int of the chunk text
+ctoks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ct
+          FROM documents
+          WHERE doc_id < 500 AND text IS NOT NULL AND trim(text) <> ''),
+chk AS (
+  SELECT 'chunk' AS kind, doc_id, CAST(u.j - 1 AS VARCHAR) AS grp,
+         CAST(('0x' || substr(md5(array_to_string(
+           ct[(u.j - 1) * 16 + 1 : least(u.j * 16, len(ct))], ' ')),
+           1, 15)) AS BIGINT) AS val
+  FROM ctoks, UNNEST(generate_series(1, (len(ct) + 15) // 16)) AS u(j))
 SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM samp
 UNION ALL
 SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM pk
@@ -1610,6 +1642,8 @@ UNION ALL
 SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM ord_
 UNION ALL
 SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM cap_
+UNION ALL
+SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM chk
 """,
         # one-shot twin of the STREAMING dedup row: identical signatures,
         # but the cap is an arrival-RANK predicate (first cap admitted),

@@ -41,6 +41,7 @@ __all__ = [
     "shuffle_order_key",
     "global_order_index",
     "cap_per_domain",
+    "split_sequences",
 ]
 
 
@@ -318,4 +319,72 @@ def global_order_index(
         )
         .withColumnRenamed("shard_id", "train_pos")
         .drop("__one")
+    )
+
+
+def split_sequences(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_tail_min: int = 1,
+) -> DataFrame:
+    """One row per fixed-length TRAINING SEQUENCE: the doc's whitespace
+    tokens (``textquality.token_count``'s definition — split of the
+    trimmed text on runs of whitespace) cut into consecutive
+    ``seq_len``-token chunks, the trainer's context-window shaping step
+    between packing and consumption. The final partial chunk is kept
+    when it has at least ``keep_tail_min`` tokens (1 = always; pass
+    ``seq_len`` for full-chunks-only). Returns (id, ``seq_idx``,
+    ``seq_start``, ``n_seq_tokens``, ``seq_text``) with seq_start in
+    token coordinates. NULL/blank docs yield no rows — a chunker's
+    output IS the sequence stream; callers needing total decoration
+    left-join back on the id.
+
+    Scale shape: one scan, a posexplode of ceil(n/seq_len) start
+    offsets per doc, slice+concat as plain codegen column expressions
+    (the ``dedup._window_hashes`` lesson — never inside a ``transform``
+    lambda); NO shuffle at all, chunking is embarrassingly parallel and
+    composes with ``pack_shards`` run on the chunk rows.
+
+    Reference analogue: none (engine-new training-data scope)."""
+    if seq_len < 1:
+        raise ValueError("seq_len must be at least 1")
+    if not 1 <= keep_tail_min <= seq_len:
+        raise ValueError("keep_tail_min must be in [1, seq_len]")
+    t = F.trim(F.col(text_col))
+    toks = df.select(
+        F.col(id_col),
+        F.when(
+            t.isNull() | (t == ""),
+            F.expr("array()").cast("array<string>"),
+        )
+        .otherwise(F.split(t, r"\s+"))
+        .alias("__toks"),
+    )
+    n = F.size("__toks")
+    full = F.floor(n / seq_len).cast("int")
+    tail = n - full * seq_len
+    n_out = full + F.when(tail >= keep_tail_min, F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    starts = F.when(
+        n_out > 0, F.sequence(F.lit(0), n_out - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    chunk = F.slice(
+        F.col("__toks"), F.col("seq_idx") * seq_len + 1, seq_len
+    )
+    return (
+        toks.select(
+            F.col(id_col),
+            "__toks",
+            F.posexplode(starts).alias("__x", "seq_idx"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("seq_idx").cast("long").alias("seq_idx"),
+            (F.col("seq_idx").cast("long") * seq_len).alias("seq_start"),
+            F.size(chunk).cast("long").alias("n_seq_tokens"),
+            F.concat_ws(" ", chunk).alias("seq_text"),
+        )
     )

@@ -741,12 +741,24 @@ def duplicate_spans(
 
     The paper builds a corpus-wide suffix array — inherently sequential
     and memory-resident. The relational equivalent at 100 TB: hash every
-    n-token window (one scan, rows = O(total tokens), the only shuffle
-    is window-hash → count, map-side-combinable), keep hashes with
+    n-token window (rows = O(total tokens); the only shuffle is
+    window-hash → count, map-side-combinable), keep hashes with
     count ≥ min_count, join back (semi join on the hash), and merge
     overlapping marked windows per doc with a gaps-and-islands window —
     partitioned BY DOC, so parallelism is per-document and no global
-    order is ever materialized. A 60-bit hash stands in for the exact
+    order is ever materialized.
+
+    Plan shape, deliberately: the window-hash projection feeds TWO plan
+    branches (the count aggregate and the mark-back probe), so the
+    codegen hash scan evaluates twice. The single-evaluation alternative
+    — marking via ``count(*) OVER (PARTITION BY hash)`` — trades that
+    for WindowExec buffering every occurrence of a hash in one group,
+    which inverts under exactly the skew this operator exists for (a
+    boilerplate window occurring in millions of docs); the duplicated
+    scan is embarrassingly parallel, the buffered group is not.
+    Measured at 1M docs the two-branch plan scales at 0.795 of linear
+    vs the host's 0.462 engine-free ceiling
+    (BENCH/exactsubstr_xl_r7.json). A 60-bit hash stands in for the exact
     substring: collisions (~N²/2⁶¹) would mark a non-duplicate span —
     negligible below ~10¹² windows and always removal-safe in the
     training-data setting (a false positive loses one span of text, it

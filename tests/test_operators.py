@@ -2185,3 +2185,90 @@ class TestCuration:
             ).first()
             assert got[0] == expected_last_shard, (n_parts, got)
             assert (got[1], got[2]) == (sum(toks), 50_000)
+
+
+class TestSplitSequences:
+    """curation.split_sequences: trainer context-window chunking vs a
+    pure-Python reference."""
+
+    @staticmethod
+    def _py(rows, seq_len, keep_tail_min=1):
+        import re
+
+        out = []
+        for i, t in rows:
+            if t is None or t.strip() == "":
+                continue
+            toks = re.split(r"\s+", t.strip())
+            full, tail = divmod(len(toks), seq_len)
+            n_out = full + (1 if tail >= keep_tail_min else 0)
+            for j in range(n_out):
+                chunk = toks[j * seq_len : (j + 1) * seq_len]
+                out.append((i, j, j * seq_len, len(chunk), " ".join(chunk)))
+        return sorted(out)
+
+    def _check(self, spark, rows, seq_len, keep_tail_min=1):
+        from companycatalogcrawlerparser_spark.operators import curation as CU
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            (r["doc_id"], r["seq_idx"], r["seq_start"],
+             r["n_seq_tokens"], r["seq_text"])
+            for r in CU.split_sequences(
+                df, seq_len, keep_tail_min=keep_tail_min
+            ).collect()
+        )
+        assert got == self._py(rows, seq_len, keep_tail_min)
+        return got
+
+    def test_chunks_match_python(self, spark):
+        rows = [
+            (1, "a b c d e f g"),          # 7 tokens: 2 full + tail 1
+            (2, "a b c"),                  # exactly one chunk
+            (3, "  x   y\tz  w "),         # messy whitespace, 4 toks
+            (4, None),
+            (5, ""),
+            (6, "solo"),
+        ]
+        got = self._check(spark, rows, seq_len=3)
+        assert (1, 2, 6, 1, "g") in got      # tail kept by default
+        assert not any(r[0] in (4, 5) for r in got)
+
+    def test_tail_dropped_below_min(self, spark):
+        rows = [(1, "a b c d e f g"), (2, "a b")]
+        got = self._check(spark, rows, seq_len=3, keep_tail_min=3)
+        # only full chunks survive; doc 2 (2 tokens < 3) vanishes
+        assert {(r[0], r[1]) for r in got} == {(1, 0), (1, 1)}
+
+    def test_validation(self, spark):
+        from companycatalogcrawlerparser_spark.operators import curation as CU
+
+        import pytest as _pt
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with _pt.raises(ValueError):
+            CU.split_sequences(df, 0)
+        with _pt.raises(ValueError):
+            CU.split_sequences(df, 3, keep_tail_min=4)
+
+    def test_composes_with_pack_shards(self, spark):
+        from companycatalogcrawlerparser_spark.operators import curation as CU
+
+        rows = [(i, " ".join(f"t{i}w{j}" for j in range(10)))
+                for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        seqs = CU.split_sequences(df, 4).withColumn(
+            "seq_key",
+            (F.col("doc_id") * 100 + F.col("seq_idx")),
+        )
+        packed = CU.pack_shards(seqs, "n_seq_tokens", 16,
+                                order_col="seq_key")
+        got = packed.groupBy("shard_id").agg(
+            F.sum("n_seq_tokens").alias("tok")
+        ).collect()
+        # 20 docs x 10 tokens = 200 tokens, budget 16 per shard; packing
+        # never splits rows, so a shard may overshoot by < one row (4)
+        assert sum(r["tok"] for r in got) == 200
+        assert all(r["tok"] < 16 + 4 for r in got)
+        sids = {r["shard_id"] for r in got}
+        assert sids == set(range(max(sids) + 1))

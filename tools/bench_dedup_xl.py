@@ -178,7 +178,7 @@ def _task_action(spark, task: str, data_dir: str):
         edges_xl = spark.read.parquet(path).persist()
         n_in = edges_xl.count()
     elif task in ("minhash_lsh_pairs", "winnow_jaccard", "simhash_groups",
-                  "exact_dedup", "exactsubstr", "text_metrics",
+                  "exact_dedup", "exactsubstr", "dsir", "text_metrics",
                   "control_tokenhash",
                   "dedup_pipeline", "pipeline_full", "stream_dedup",
                   "connected_components", "pagerank", "curation",
@@ -557,6 +557,33 @@ def _task_action(spark, task: str, data_dir: str):
     elif task == "exact_dedup":
         def run():
             return {"rows_out": D.exact_dedup(docs).count()}
+    elif task == "dsir":
+        # DSIR importance resampling at corpus scale: target = the
+        # 1/1000 doc slice (the realistic MBs-target-vs-TBs-corpus
+        # ratio, same idiom as the contamination task), raw = the full
+        # corpus; score all 1M docs against the broadcast 10k-bucket
+        # log-ratio frame and take the deterministic Gumbel-top-100k.
+        # score_checksum (sum of 6dp-rounded scores scaled to integers)
+        # and the selected-id checksum are the cross-core bit-stability
+        # checks.
+        from companycatalogcrawlerparser_spark.operators import dsir as DSR
+
+        def run():
+            target = docs.filter(F.col("doc_id") % 1000 == 0)
+            ratios = DSR.dsir_log_ratios(target, docs)
+            scored = DSR.dsir_scores(docs, ratios)
+            kept = DSR.dsir_select(scored, 100_000)
+            got = kept.agg(
+                F.count("*"),
+                # per-term integer cast BEFORE the sum: the integer sum
+                # is order-invariant, a double sum cast at the end is not
+                F.sum((F.round("dsir_score", 6) * 1_000_000).cast("long")),
+                F.sum(F.pmod(F.xxhash64(F.col("doc_id").cast("string")),
+                             F.lit(10**9))),
+            ).first()
+            return {"rows_out": int(got[0]),
+                    "score_checksum": int(got[1]),
+                    "selected_id_checksum": int(got[2])}
     elif task == "exactsubstr":
         # ExactSubstr span removal (Lee et al. 2021, dedup.duplicate_
         # spans → remove_duplicate_spans) at corpus scale: n=15 over
