@@ -266,3 +266,38 @@ class TestSimilarityPlans:
         plan = _plan(SM.sitemap_urls(pages, roots))
         for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
             assert node not in plan
+
+
+class TestCurationPlans:
+    def test_split_sequences_no_shuffle_no_python(self, spark):
+        """The chunker is embarrassingly parallel: one scan, explode,
+        codegen slicing — any Exchange in the plan means a shuffle crept
+        into a per-row operation."""
+        from companycatalogcrawlerparser_spark.operators import curation as CU
+
+        docs = spark.createDataFrame(
+            [(i, "tok " * 40) for i in range(40)],
+            "doc_id long, text string",
+        )
+        plan = _plan(CU.split_sequences(docs, 16))
+        for node in ("Exchange", "BatchEvalPython", "ArrowEvalPython",
+                     "CartesianProduct"):
+            assert node not in plan, node
+
+    def test_exactsubstr_no_python_no_cartesian(self, spark):
+        """duplicate_spans / remove_duplicate_spans stay JVM-native: the
+        only joins are the hash mark-back and the per-doc span join —
+        never a nested loop."""
+        from companycatalogcrawlerparser_spark.operators import dedup as D
+
+        docs = spark.createDataFrame(
+            [(i, f"doc text number {i} with words " * 3) for i in range(40)],
+            "doc_id long, text string",
+        )
+        for df in (D.duplicate_spans(docs, n=4),
+                   D.remove_duplicate_spans(docs, n=4)):
+            plan = _plan(df)
+            for node in ("BatchEvalPython", "ArrowEvalPython",
+                         "MapInPandas", "CartesianProduct",
+                         "BroadcastNestedLoopJoin"):
+                assert node not in plan, node
