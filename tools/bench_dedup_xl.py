@@ -179,7 +179,7 @@ def _task_action(spark, task: str, data_dir: str):
         n_in = edges_xl.count()
     elif task in ("minhash_lsh_pairs", "winnow_jaccard", "simhash_groups",
                   "exact_dedup", "exactsubstr", "dsir", "text_metrics",
-                  "control_tokenhash",
+                  "control_tokenhash", "pipeline_surface",
                   "dedup_pipeline", "pipeline_full", "stream_dedup",
                   "connected_components", "pagerank", "curation",
                   "contamination"):
@@ -557,6 +557,47 @@ def _task_action(spark, task: str, data_dir: str):
     elif task == "exact_dedup":
         def run():
             return {"rows_out": D.exact_dedup(docs).count()}
+    elif task == "pipeline_surface":
+        # the PACKAGED product surface (plans.pipeline.curate_training_
+        # corpus) driven directly at scale with the r7 OPTIONAL stages ON
+        # (ExactSubstr span removal + DSIR resampling). pipeline_full
+        # measures the same default chain recomposed stage-by-stage for
+        # per-stage walls; this task proves the one-callable surface —
+        # and the stages only it enables — composes at XL size. Corpus
+        # bounded (default 250k docs; the constituent operators all
+        # carry their own 1M-doc numbers).
+        from companycatalogcrawlerparser_spark.plans.pipeline import (
+            CurationConfig, curate_training_corpus,
+        )
+
+        n_sub = int(os.environ.get("PIPE_SURF_DOCS", "250000"))
+        sub = docs.filter(F.col("doc_id") < n_sub).persist()
+        n_in = sub.count()
+
+        def run():
+            cfg = CurationConfig(
+                exactsubstr=True, exactsubstr_window=15,
+                dsir_k=50_000,
+                sample_rates={"en": 9000, "ru": 9000}, default_keep=9000,
+            )
+            bench_df = sub.filter(F.col("doc_id") % 1000 == 0)
+            target = sub.filter(F.col("doc_id") % 997 == 0)
+            packed = curate_training_corpus(
+                sub, bench_df, cfg, dsir_target=target
+            )
+            got = packed.agg(
+                F.count("*"), F.sum("n_tok"), F.max("shard_id"),
+                F.sum(F.pmod(F.xxhash64(
+                    F.col("doc_id").cast("string"),
+                    F.col("train_pos").cast("string"),
+                    F.col("shard_id").cast("string"),
+                ), F.lit(10**9))),
+                F.sum((F.round("dsir_score", 6) * 1_000_000).cast("long")),
+            ).first()
+            return {"rows_out": int(got[0]), "tokens": int(got[1]),
+                    "n_shards": int(got[2]) + 1,
+                    "order_checksum": int(got[3]),
+                    "dsir_score_checksum": int(got[4])}
     elif task == "dsir":
         # DSIR importance resampling at corpus scale: target = the
         # 1/1000 doc slice (the realistic MBs-target-vs-TBs-corpus
