@@ -770,11 +770,41 @@ def q_corpus_curation(spark, sf_dir):
         .cast("long")
         .alias("val"),
     )
+    # kind='packseq' (r7-late): trainer sequence packing — docs packed
+    # to a 2000-token budget in doc_id order, then concatenated per
+    # shard with doc-boundary offsets (curation.concat_packed_
+    # sequences). Boundary rows pin membership+order+token math
+    # integer-exactly (doc_id = SHARD id, grp = boundary index, val =
+    # token offset); the grp='text' row pins the concatenated bytes
+    # (val = md5-int). Bounded doc_id < 500 like the other r7 kinds.
+    d500 = d.filter(F.col("doc_id") < 500).select(
+        "doc_id", "text", TQ.token_count(F.col("text")).alias("n_tok")
+    )
+    ctx = CU.concat_packed_sequences(
+        CU.pack_shards(d500, "n_tok", 2000), order_col="doc_id"
+    )
+    pseq_b = ctx.select(
+        F.lit("packseq").alias("kind"),
+        F.col("shard_id").alias("doc_id"),
+        F.posexplode("boundaries").alias("__i", "val"),
+    ).select(
+        "kind", "doc_id", F.col("__i").cast("string").alias("grp"), "val"
+    )
+    pseq_t = ctx.select(
+        F.lit("packseq").alias("kind"),
+        F.col("shard_id").alias("doc_id"),
+        F.lit("text").alias("grp"),
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("val"),
+    )
     return (
         samp.unionByName(pack)
         .unionByName(order)
         .unionByName(capd)
         .unionByName(chunk)
+        .unionByName(pseq_b)
+        .unionByName(pseq_t)
     )
 
 
@@ -1634,7 +1664,26 @@ chk AS (
          CAST(('0x' || substr(md5(array_to_string(
            ct[(u.j - 1) * 16 + 1 : least(u.j * 16, len(ct))], ' ')),
            1, 15)) AS BIGINT) AS val
-  FROM ctoks, UNNEST(generate_series(1, (len(ct) + 15) // 16)) AS u(j))
+  FROM ctoks, UNNEST(generate_series(1, (len(ct) + 15) // 16)) AS u(j)),
+-- packseq twin: 2000-token packing in doc_id order, per-shard boundary
+-- offsets + md5 of the space-joined shard text
+pkt AS (SELECT doc_id, text, CAST({token_count_sql} AS BIGINT) AS n_tok
+        FROM documents WHERE doc_id < 500),
+pks AS (SELECT doc_id, text, n_tok,
+        coalesce(sum(n_tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS sid
+        FROM pkt),
+pkb AS (SELECT sid, doc_id, n_tok,
+        row_number() OVER (PARTITION BY sid ORDER BY doc_id) - 1 AS bi,
+        coalesce(sum(n_tok) OVER (PARTITION BY sid ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM pks),
+pseq_b AS (SELECT 'packseq' AS kind, sid AS doc_id,
+                  CAST(bi AS VARCHAR) AS grp, off AS val FROM pkb),
+pseq_t AS (SELECT 'packseq' AS kind, sid AS doc_id, 'text' AS grp,
+           CAST(('0x' || substr(md5(string_agg(text, ' ' ORDER BY doc_id)),
+             1, 15)) AS BIGINT) AS val
+           FROM pks GROUP BY sid)
 SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM samp
 UNION ALL
 SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM pk
@@ -1644,6 +1693,10 @@ UNION ALL
 SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM cap_
 UNION ALL
 SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM chk
+UNION ALL
+SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM pseq_b
+UNION ALL
+SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM pseq_t
 """,
         # one-shot twin of the STREAMING dedup row: identical signatures,
         # but the cap is an arrival-RANK predicate (first cap admitted),

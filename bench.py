@@ -185,7 +185,7 @@ FOLDED_KINDS = {
     "ann_lsh": ["lsh", "ivf", "ivf_arrow"],
     "events_windows": ["window", "audit"],
     "warc_ingest": ["whole", "ranged", "indexed"],
-    "corpus_curation": ["sample", "pack", "order", "cap", "chunk"],
+    "corpus_curation": ["sample", "pack", "order", "cap", "chunk", "packseq"],
     "dedup_groups": ["exact", "simhash", "spans", "excised"],
     "minhash": ["sig", "pairs"],
     "graph_ops": ["cc", "pr"],

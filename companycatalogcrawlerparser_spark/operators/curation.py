@@ -42,6 +42,7 @@ __all__ = [
     "global_order_index",
     "cap_per_domain",
     "split_sequences",
+    "concat_packed_sequences",
 ]
 
 
@@ -386,5 +387,67 @@ def split_sequences(
             (F.col("seq_idx").cast("long") * seq_len).alias("seq_start"),
             F.size(chunk).cast("long").alias("n_seq_tokens"),
             F.concat_ws(" ", chunk).alias("seq_text"),
+        )
+    )
+
+
+def concat_packed_sequences(
+    df: DataFrame,
+    shard_col: str = "shard_id",
+    order_col: str = "train_pos",
+    token_col: str = "n_tok",
+    text_col: str = "text",
+) -> DataFrame:
+    """Trainer-side SEQUENCE PACKING: one row per shard with the member
+    texts concatenated in ``order_col`` order and the doc-boundary
+    START OFFSETS in token coordinates — what an attention mask needs to
+    stop cross-document attention inside a packed context window.
+    Returns (shard, ``n_docs``, ``n_tokens``, ``boundaries``
+    array<long>, ``text``). Run it on :func:`pack_shards` (or
+    :func:`split_sequences` → pack_shards) output, where each shard's
+    member set is budget-bounded.
+
+    Scale shape: ONE groupBy(shard) with a sort_array'd collect_list —
+    per-group volume is bounded by the pack budget (a context window),
+    never by corpus size — then a single-pass ``aggregate`` fold
+    computing offsets and the concat together. Requires ``token_col``
+    to be the caller's token count for ``text_col`` (split_sequences
+    and the quality gate both provide it); boundaries are cumulative
+    sums of those counts, so they are exact under any whitespace-token
+    definition the caller used."""
+    xs = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(order_col).alias("k"),
+                F.col(token_col).cast("long").alias("n"),
+                F.col(text_col).alias("t"),
+            )
+        )
+    )
+    fold = F.aggregate(
+        F.col("__xs"),
+        F.struct(
+            F.expr("array()").cast("array<long>").alias("offs"),
+            F.lit(0).cast("long").alias("tot"),
+            F.lit("").alias("txt"),
+        ),
+        lambda acc, x: F.struct(
+            F.concat(acc["offs"], F.array(acc["tot"])).alias("offs"),
+            (acc["tot"] + x["n"]).alias("tot"),
+            F.when(acc["txt"] == "", x["t"])
+            .otherwise(F.concat_ws(" ", acc["txt"], x["t"]))
+            .alias("txt"),
+        ),
+    )
+    return (
+        df.groupBy(shard_col)
+        .agg(xs.alias("__xs"))
+        .withColumn("__f", fold)
+        .select(
+            shard_col,
+            F.size("__xs").cast("long").alias("n_docs"),
+            F.col("__f")["tot"].alias("n_tokens"),
+            F.col("__f")["offs"].alias("boundaries"),
+            F.col("__f")["txt"].alias("text"),
         )
     )

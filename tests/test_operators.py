@@ -2272,3 +2272,82 @@ class TestSplitSequences:
         assert all(r["tok"] < 16 + 4 for r in got)
         sids = {r["shard_id"] for r in got}
         assert sids == set(range(max(sids) + 1))
+
+
+class TestConcatPackedSequences:
+    """curation.concat_packed_sequences: trainer sequence packing with
+    doc-boundary offsets vs a pure-Python reference."""
+
+    @staticmethod
+    def _py(rows):
+        out = {}
+        for sid in {r[0] for r in rows}:
+            mem = sorted(r for r in rows if r[0] == sid)
+            offs, tot, txts = [], 0, []
+            for _, k, n, t in mem:
+                offs.append(tot)
+                tot += n
+                txts.append(t)
+            out[sid] = (len(mem), tot, offs, " ".join(txts))
+        return out
+
+    def test_matches_python(self, spark):
+        from companycatalogcrawlerparser_spark.operators import curation as CU
+
+        rows = [
+            (0, 1, 3, "a b c"),
+            (0, 0, 2, "x y"),       # earlier train_pos → comes first
+            (1, 5, 1, "solo"),
+            (2, 7, 4, "p q r s"),
+            (2, 9, 2, "t u"),
+            (2, 8, 1, "m"),
+        ]
+        df = spark.createDataFrame(
+            rows, "shard_id long, train_pos long, n_tok long, text string"
+        )
+        got = {
+            r["shard_id"]: (r["n_docs"], r["n_tokens"],
+                            list(r["boundaries"]), r["text"])
+            for r in CU.concat_packed_sequences(df).collect()
+        }
+        assert got == self._py(rows)
+        # order check explicitly: shard 2 packs 7,8,9 in train order
+        assert got[2][3] == "p q r s m t u"
+        assert got[2][2] == [0, 4, 5]
+
+    def test_end_to_end_with_split_and_pack(self, spark):
+        from companycatalogcrawlerparser_spark.operators import curation as CU
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"d{i}w{j}" for j in range(10)))
+             for i in range(12)],
+            "doc_id long, text string",
+        )
+        seqs = CU.split_sequences(docs, 4).withColumn(
+            "seq_key", F.col("doc_id") * 100 + F.col("seq_idx")
+        )
+        packed = CU.pack_shards(seqs, "n_seq_tokens", 8, order_col="seq_key")
+        ctx = CU.concat_packed_sequences(
+            packed, order_col="seq_key", token_col="n_seq_tokens",
+            text_col="seq_text",
+        )
+        rows = ctx.collect()
+        # total token conservation and boundary consistency per shard
+        assert sum(r["n_tokens"] for r in rows) == 120
+        for r in rows:
+            assert list(r["boundaries"])[0] == 0
+            assert len(r["boundaries"]) == r["n_docs"]
+            assert len(r["text"].split(" ")) == r["n_tokens"]
+
+    def test_partition_invariance(self, spark):
+        from companycatalogcrawlerparser_spark.operators import curation as CU
+
+        rows = [(i % 3, i, 2, f"w{i} v{i}") for i in range(30)]
+        df = spark.createDataFrame(
+            rows, "shard_id long, train_pos long, n_tok long, text string"
+        )
+        a = {tuple(r) for r in CU.concat_packed_sequences(df)
+             .select("shard_id", "text").collect()}
+        b = {tuple(r) for r in CU.concat_packed_sequences(df.repartition(7))
+             .select("shard_id", "text").collect()}
+        assert a == b
