@@ -197,9 +197,12 @@ def curate_training_corpus(
             id_col=idc,
             text_col=txc,
         ).drop("n_removed_tokens")
+        # a doc whose text was ENTIRELY duplicated elsewhere excises to
+        # empty (the operator keeps it — total decoration); the pipeline
+        # drops it here, an empty context contributes nothing to training
         survivors = survivors.withColumn(
             "n_tok", TQ.token_count(F.col(txc))
-        )
+        ).filter(F.col("n_tok") > 0)
 
     # 4. PII redaction (in place on the text column)
     if cfg.redact:

@@ -140,6 +140,10 @@ class TestCuratePipeline:
                 [
                     (500, f"{boiler} {_words('a')}"),
                     (501, f"{boiler} {_words('b')}"),
+                    # boiler-only doc: far from 500/501 in Jaccard space
+                    # (survives doc-level dedup) but excises to EMPTY —
+                    # the pipeline must drop it
+                    (502, boiler),
                 ],
                 "doc_id long, text string",
             )
@@ -150,6 +154,7 @@ class TestCuratePipeline:
         rows = {r["doc_id"]: r for r in
                 curate_training_corpus(docs, _bench(spark), cfg).collect()}
         assert 500 in rows and 501 in rows
+        assert 502 not in rows  # fully-excised doc dropped, not shipped empty
         for i in (500, 501):
             assert "footer" not in rows[i]["text"]
             assert rows[i]["text"].count(" ") == 19  # 20 hex words kept

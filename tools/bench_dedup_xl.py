@@ -179,7 +179,7 @@ def _task_action(spark, task: str, data_dir: str):
         n_in = edges_xl.count()
     elif task in ("minhash_lsh_pairs", "winnow_jaccard", "simhash_groups",
                   "exact_dedup", "exactsubstr", "dsir", "text_metrics",
-                  "control_tokenhash", "pipeline_surface",
+                  "control_tokenhash", "pipeline_surface", "seqpack",
                   "dedup_pipeline", "pipeline_full", "stream_dedup",
                   "connected_components", "pagerank", "curation",
                   "contamination"):
@@ -557,6 +557,46 @@ def _task_action(spark, task: str, data_dir: str):
     elif task == "exact_dedup":
         def run():
             return {"rows_out": D.exact_dedup(docs).count()}
+    elif task == "seqpack":
+        # trainer sequence shaping end-to-end at 1M docs: context-window
+        # splitting (32-token windows over 40-token docs → 2M chunks) →
+        # token-budget packing (4096/context) → per-shard concat with
+        # attention boundaries. text_checksum (md5-int of each packed
+        # context, integer sum) + boundary_checksum pin the full shaping
+        # bit-exactly across core counts.
+        from companycatalogcrawlerparser_spark.operators import (
+            curation as CUQ,
+        )
+
+        def run():
+            seqs = CUQ.split_sequences(docs, 32).withColumn(
+                "seq_key", F.col("doc_id") * 8 + F.col("seq_idx")
+            )
+            packed = CUQ.pack_shards(
+                seqs, "n_seq_tokens", 4096, order_col="seq_key"
+            )
+            ctx = CUQ.concat_packed_sequences(
+                packed, order_col="seq_key", token_col="n_seq_tokens",
+                text_col="seq_text",
+            )
+            m = ctx.select(
+                "n_docs", "n_tokens",
+                F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+                .cast("long").alias("th"),
+                F.aggregate(
+                    "boundaries", F.lit(0).cast("long"),
+                    lambda a, b: a + b
+                ).alias("bs"),
+            )
+            got = m.agg(
+                F.count("*"), F.sum("n_docs"), F.sum("n_tokens"),
+                F.sum(F.pmod(F.col("th"), F.lit(10**9))),
+                F.sum("bs"),
+            ).first()
+            return {"rows_out": int(got[0]), "packed_members": int(got[1]),
+                    "packed_tokens": int(got[2]),
+                    "text_checksum": int(got[3]),
+                    "boundary_checksum": int(got[4])}
     elif task == "pipeline_surface":
         # the PACKAGED product surface (plans.pipeline.curate_training_
         # corpus) driven directly at scale with the r7 OPTIONAL stages ON
