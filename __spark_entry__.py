@@ -571,7 +571,19 @@ def q_dedup_groups(spark, sf_dir):
     signal. The span corpus is bounded to doc_id < 500 (the WHOLE
     sf0.01 fixture, so the driver's hash signal is unchanged; at larger
     sf the row stays a fixed-size verification surface — the measured-
-    performance story is BENCH/exactsubstr_xl_r7.json at 1M docs)."""
+    performance story is BENCH/exactsubstr_xl_r7.json at 1M docs).
+
+    r7-late: + kind='lines' — CCNet/RefinedWeb line-level boilerplate
+    dedup (operators.dedup.remove_duplicate_lines, keep_first): the
+    fixture docs are single-line, so the corpus is deterministically
+    DECORATED (the PII/gopher idiom) — every third doc gains one of
+    four shared boilerplate lines, every seventh a blank line (must
+    survive untouched), every fifth a doc-unique tail line (must never
+    be removed); identical-text fixture docs additionally dedup their
+    body line cross-doc. sig = md5 of the rewritten text,
+    n_docs = n_removed_lines, so the keep-first-occurrence choice, the
+    blank-line exclusion, and the rebuild order all sit under the hash
+    signal."""
     d = _t_wide(spark, sf_dir, "documents")
     dspan = d.filter(F.col("doc_id") < 500)
     span_df = D.duplicate_spans(dspan, n=15, min_count=2)
@@ -607,7 +619,40 @@ def q_dedup_groups(spark, sf_dir):
         F.count("*").over(w).cast("long").alias("n_docs"),
         F.min("doc_id").over(w).alias("ref_id"),
     )
-    return exact.unionByName(sim).unionByName(spans).unionByName(excised)
+    ltext = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("\nsubscribe boiler "),
+                (F.col("doc_id") % 4).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("\n   ")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("\nunique tail "), F.col("doc_id").cast("string")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    lines = D.remove_duplicate_lines(
+        d.select("doc_id", ltext.alias("text"))
+    ).select(
+        F.lit("lines").alias("kind"),
+        "doc_id",
+        F.md5(F.coalesce("text", F.lit(""))).alias("sig"),
+        F.col("n_removed_lines").alias("n_docs"),
+        F.lit(None).cast("long").alias("ref_id"),
+    )
+    return (
+        exact.unionByName(sim)
+        .unionByName(spans)
+        .unionByName(excised)
+        .unionByName(lines)
+    )
 
 
 def q_minhash(spark, sf_dir):
@@ -1494,7 +1539,44 @@ excised AS (
               ELSE md5(coalesce(k.txt, '')) END AS sig,
          CASE WHEN t.text IS NULL THEN 0
               ELSE len(t.tl) - coalesce(k.nk, 0) END AS n_removed
-  FROM tok t LEFT JOIN keptagg k USING (doc_id))
+  FROM tok t LEFT JOIN keptagg k USING (doc_id)),
+ldoc AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || 'subscribe boiler ' || CAST(doc_id % 4 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '   ' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || 'unique tail ' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END AS text
+  FROM documents),
+lsplit AS (SELECT doc_id, text, string_split(text, chr(10)) AS ll FROM ldoc),
+lrows AS (
+  SELECT doc_id, u.i - 1 AS pos, ll[u.i] AS line, trim(ll[u.i]) AS tl
+  FROM lsplit, UNNEST(generate_series(1, coalesce(len(ll), 0))) AS u(i)),
+lnb AS (SELECT * FROM lrows WHERE tl <> ''),
+ldup AS (SELECT tl FROM lnb GROUP BY tl HAVING count(DISTINCT doc_id) >= 2),
+lfirst AS (
+  SELECT tl, fdoc, fpos FROM (
+    SELECT tl, doc_id AS fdoc, pos AS fpos,
+           row_number() OVER (PARTITION BY tl ORDER BY doc_id, pos) AS rn
+    FROM lnb WHERE tl IN (SELECT tl FROM ldup)) WHERE rn = 1),
+lrm AS (
+  SELECT n.doc_id, n.pos FROM lnb n JOIN lfirst f USING (tl)
+  WHERE NOT (n.doc_id = f.fdoc AND n.pos = f.fpos)),
+lkept AS (
+  SELECT r.doc_id, string_agg(r.line, chr(10) ORDER BY r.pos) AS txt
+  FROM lrows r LEFT JOIN lrm m ON m.doc_id = r.doc_id AND m.pos = r.pos
+  WHERE m.doc_id IS NULL GROUP BY r.doc_id),
+lrmc AS (SELECT doc_id, count(*) AS c FROM lrm GROUP BY doc_id),
+llines AS (
+  SELECT s.doc_id,
+         md5(CASE WHEN s.text IS NULL THEN ''
+                  ELSE coalesce(k.txt, '') END) AS sig,
+         CAST(coalesce(c.c, 0) AS BIGINT) AS n_removed
+  FROM lsplit s LEFT JOIN lkept k USING (doc_id)
+  LEFT JOIN lrmc c ON c.doc_id = s.doc_id)
 SELECT 'exact' AS kind, doc_id, content_hash AS sig,
        CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS ref_id
 FROM r WHERE rn = 1
@@ -1511,6 +1593,10 @@ UNION ALL
 SELECT 'excised' AS kind, doc_id, sig,
        CAST(n_removed AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS ref_id
 FROM excised
+UNION ALL
+SELECT 'lines' AS kind, doc_id, sig,
+       n_removed AS n_docs, CAST(NULL AS BIGINT) AS ref_id
+FROM llines
 """,
         # folded (registry cap): signature unpivot + banded-LSH pairs
         "minhash": f"""

@@ -855,3 +855,134 @@ def remove_duplicate_spans(
             .alias("n_removed_tokens"),
         )
     )
+
+
+def _line_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, __lh, __blank): one row per newline-delimited line of
+    ``text_col``, ``pos`` the 0-based line index, ``__lh`` a 60-bit
+    md5-derived hash of the TRIMMED line, ``__blank`` true for lines
+    that are empty after trimming. NULL text yields no rows. One scan,
+    no shuffle; row volume is O(total lines) — far below the token
+    explodes of :func:`_window_hashes` / winnowing."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "__line"),
+    ).select(
+        id_col,
+        "pos",
+        F.conv(F.substring(F.md5(F.trim("__line")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("__lh"),
+        (F.trim("__line") == "").alias("__blank"),
+    )
+
+
+def duplicate_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide duplicated lines — the boilerplate detector of the
+    CCNet (Wenzek et al. 2020, arXiv:1911.00359) / RefinedWeb (Penedo
+    et al. 2023) line-dedup stage: lines whose trimmed content occurs
+    in at least ``min_docs`` DISTINCT documents ("subscribe to our
+    newsletter", cookie banners, nav menus). Returns one row per
+    duplicated line hash: (line_hash, n_docs, n_occ, first_doc,
+    first_pos), where (first_doc, first_pos) is the globally first
+    occurrence (min (id, pos)) — the one :func:`remove_duplicate_lines`
+    keeps in keep_first mode. Blank lines (empty after trim) never
+    count: every document has them and they carry no content.
+
+    Scale shape: two map-side-combinable aggregations — (line_hash, id)
+    first (collapsing within-doc repeats so n_docs is a distinct-doc
+    count without ``countDistinct``'s expand), then line_hash. No
+    windows, no joins; a boilerplate line present in millions of docs
+    is ONE group whose partial aggregates combine map-side, so skew
+    costs nothing. Within-doc repetition is deliberately not a trigger
+    (that is gopher_metrics' dup_line_frac); min_docs counts documents.
+    Reference analogue: none (engine-new training-data scope, same
+    family as duplicate_spans)."""
+    per_doc = (
+        _line_rows(df, id_col, text_col)
+        .filter(~F.col("__blank"))
+        .groupBy("__lh", id_col)
+        .agg(F.count(F.lit(1)).alias("__c"), F.min("pos").alias("__minpos"))
+    )
+    return (
+        per_doc.groupBy("__lh")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__c").alias("n_occ"),
+            F.min(F.struct(F.col(id_col), F.col("__minpos"))).alias("__f"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(
+            F.col("__lh").alias("line_hash"),
+            "n_docs",
+            "n_occ",
+            F.col("__f")[id_col].alias("first_doc"),
+            F.col("__f")["__minpos"].alias("first_pos"),
+        )
+    )
+
+
+def remove_duplicate_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    keep_first: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dup: DataFrame | None = None,
+) -> DataFrame:
+    """Rewrite ``text_col`` with corpus-duplicated lines removed, plus
+    ``n_removed_lines``. keep_first=True keeps the globally first
+    occurrence (min (id, pos)) and removes the rest — CCNet's
+    keep-one-copy discipline; keep_first=False removes every occurrence
+    — RefinedWeb's drop-boilerplate-outright discipline. Blank lines
+    are always kept (structure, not content); NULL text stays NULL
+    (n_removed_lines 0). Unlike the span path, untouched docs keep
+    their text BYTE-IDENTICAL — lines are removed whole, never
+    re-normalized. Pass a precomputed ``dup`` frame (from
+    :func:`duplicate_lines`) to reuse one detection across consumers.
+
+    Scale shape: the removed-position probe joins line rows to the dup
+    frame on line_hash (the only shuffle of line rows; a
+    million-document boilerplate line is a skewed probe key against ONE
+    build row — shuffle-hash territory, AQE skew-split safe, never a
+    buffering window), then aggregates removed positions per doc. The
+    corpus text itself shuffles only on the id join against that
+    removed frame — which is as small as the boilerplate it found, not
+    O(corpus). The line-rows projection feeds two plan branches (count
+    and probe), the same deliberate trade as duplicate_spans: a
+    re-evaluated codegen scan is embarrassingly parallel, a
+    count-over-hash-partition window is not."""
+    if dup is None:
+        dup = duplicate_lines(df, min_docs, id_col, text_col)
+    rows = _line_rows(df, id_col, text_col).filter(~F.col("__blank"))
+    removed = rows.join(dup, rows["__lh"] == dup["line_hash"])
+    if keep_first:
+        removed = removed.filter(
+            ~(
+                (F.col(id_col) == F.col("first_doc"))
+                & (F.col("pos") == F.col("first_pos"))
+            )
+        )
+    per_doc = removed.groupBy(id_col).agg(
+        F.collect_set("pos").alias("__rm")
+    )
+    out_cols = [c for c in df.columns if c != text_col]
+    joined = df.join(per_doc, id_col, "left")
+    kept = F.filter(
+        F.split(F.col(text_col), "\n"),
+        lambda line, i: F.col("__rm").isNull()
+        | ~F.exists("__rm", lambda p: p == i),
+    )
+    return joined.select(
+        *out_cols,
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(F.concat_ws("\n", kept))
+        .alias(text_col),
+        F.coalesce(F.size("__rm"), F.lit(0)).cast("long")
+        .alias("n_removed_lines"),
+    )
