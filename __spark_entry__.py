@@ -583,7 +583,13 @@ def q_dedup_groups(spark, sf_dir):
     body line cross-doc. sig = md5 of the rewritten text,
     n_docs = n_removed_lines, so the keep-first-occurrence choice, the
     blank-line exclusion, and the rebuild order all sit under the hash
-    signal."""
+    signal.
+
+    r7-late: + kind='incr' — incremental (cross-snapshot) dedup
+    (operators.dedup.dedup_against): the prior crawl is simulated as
+    the even-doc_id content hashes; survivors are the min-id-per-hash
+    docs whose content is NEW vs that snapshot (one uniform-key
+    anti-join — the each-crawl-against-all-prior-crawls discipline)."""
     d = _t_wide(spark, sf_dir, "documents")
     dspan = d.filter(F.col("doc_id") < 500)
     span_df = D.duplicate_spans(dspan, n=15, min_count=2)
@@ -647,11 +653,22 @@ def q_dedup_groups(spark, sf_dir):
         F.col("n_removed_lines").alias("n_docs"),
         F.lit(None).cast("long").alias("ref_id"),
     )
+    seen = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.md5(D.normalized(F.col("text"))).alias("content_hash")
+    )
+    incr = D.dedup_against(d, seen).select(
+        F.lit("incr").alias("kind"),
+        "doc_id",
+        F.col("content_hash").alias("sig"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("ref_id"),
+    )
     return (
         exact.unionByName(sim)
         .unionByName(spans)
         .unionByName(excised)
         .unionByName(lines)
+        .unionByName(incr)
     )
 
 
@@ -1597,6 +1614,13 @@ UNION ALL
 SELECT 'lines' AS kind, doc_id, sig,
        n_removed AS n_docs, CAST(NULL AS BIGINT) AS ref_id
 FROM llines
+UNION ALL
+SELECT 'incr' AS kind, doc_id, content_hash AS sig,
+       CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS ref_id
+FROM r
+WHERE rn = 1 AND NOT EXISTS (
+  SELECT 1 FROM h h2
+  WHERE h2.doc_id % 2 = 0 AND h2.content_hash = r.content_hash)
 """,
         # folded (registry cap): signature unpivot + banded-LSH pairs
         "minhash": f"""

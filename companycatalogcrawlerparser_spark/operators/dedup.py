@@ -857,6 +857,36 @@ def remove_duplicate_spans(
     )
 
 
+def dedup_against(
+    df: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seen_hash_col: str = "content_hash",
+) -> DataFrame:
+    """Incremental (cross-snapshot) exact dedup: keep only docs whose
+    normalized-content md5 is NOT in ``seen`` — the each-new-crawl-
+    against-all-prior-crawls discipline. Within the new batch itself,
+    :func:`exact_dedup` semantics apply (min id per new hash), so the
+    output is both internally and historically unique. Returns the
+    surviving docs with their ``content_hash`` column attached — union
+    it onto ``seen`` (e.g. through the SnapshotStore) to roll the seen
+    set forward for the next increment.
+
+    Scale shape: one anti-join on a 128-bit content hash. The seen side
+    at 100 TB is every prior crawl — far too big to broadcast or bloom
+    at the driver — and a shuffled sort-merge anti-join on md5 is the
+    plan you WANT: uniformly distributed keys by construction, so no
+    salting, no skew handling, and both sides prune to a single hash
+    column at the scan. Same family as the crawl's J2 URL-seen
+    anti-join (operators/urlseen.py), which adds the bloom fast path
+    for the small-seen regime; content dedup rolls TBs of hashes, so
+    the join is the honest default here."""
+    fresh = exact_dedup(df, id_col=id_col, text_col=text_col)
+    prior = seen.select(F.col(seen_hash_col).alias("content_hash")).distinct()
+    return fresh.join(prior, "content_hash", "left_anti")
+
+
 def _line_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, pos, __lh, __blank): one row per newline-delimited line of
     ``text_col``, ``pos`` the 0-based line index, ``__lh`` a 60-bit

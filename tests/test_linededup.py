@@ -146,6 +146,25 @@ def test_duplicate_lines_stats(spark):
     assert rows == {(4, 4, 0, 1), (2, 2, 6, 0)}
 
 
+def test_dedup_against_prior_snapshot(spark):
+    prior = spark.createDataFrame(
+        [Row(doc_id=0, text="Already  Seen doc")], "doc_id long, text string"
+    )
+    seen = D.exact_dedup(prior).select("content_hash")
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="already seen DOC"),   # dup of prior (normalized)
+            Row(doc_id=11, text="fresh content"),
+            Row(doc_id=12, text="FRESH   content"),    # in-batch dup of 11
+            Row(doc_id=13, text="other fresh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = D.dedup_against(new, seen)
+    assert sorted(r["doc_id"] for r in out.collect()) == [11, 13]
+    assert "content_hash" in out.columns  # rolls the seen set forward
+
+
 def test_precomputed_dup_frame_reused(spark):
     df = spark.createDataFrame(
         [Row(doc_id=i, text=t) for i, t in CORPUS],

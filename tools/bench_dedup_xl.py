@@ -178,7 +178,8 @@ def _task_action(spark, task: str, data_dir: str):
         edges_xl = spark.read.parquet(path).persist()
         n_in = edges_xl.count()
     elif task in ("minhash_lsh_pairs", "winnow_jaccard", "simhash_groups",
-                  "exact_dedup", "exactsubstr", "dsir", "text_metrics",
+                  "exact_dedup", "exactsubstr", "linededup", "dsir",
+                  "text_metrics",
                   "control_tokenhash", "pipeline_surface", "seqpack",
                   "dedup_pipeline", "pipeline_full", "stream_dedup",
                   "connected_components", "pagerank", "curation",
@@ -695,6 +696,59 @@ def _task_action(spark, task: str, data_dir: str):
                 F.sum("th"), F.sum("emptied"),
             ).first()
             return {"rows_out": int(got[0]), "removed_tokens": int(got[1]),
+                    "text_checksum": int(got[2]),
+                    "emptied_docs": int(got[3])}
+    elif task == "linededup":
+        # CCNet/RefinedWeb line dedup (dedup.remove_duplicate_lines,
+        # keep_first) at corpus scale: reshape the 40-token single-line
+        # docs into 5 lines of 8 tokens (native slice+concat,
+        # pre-materialized — the operator is what's measured), with a
+        # hot boilerplate line appended to every 10th doc and a second
+        # to every 25th. Dup-line volume comes from three real shapes:
+        # the 500-doc identical hot cluster (all 5 body lines dedup,
+        # keep-first), ~5% near-dup docs (the lines away from the
+        # mutated token are shared with their base), and the appended
+        # boilerplate — a ~100k-occurrence line, the skew case the
+        # no-window combining-aggregation plan exists for. text_checksum
+        # over every rewritten doc is the cross-core bit-stability
+        # check.
+        toksl = F.split("text", " ")
+        lines5 = F.concat_ws(
+            "\n",
+            F.array(*[
+                F.concat_ws(" ", F.slice(toksl, j * 8 + 1, 8))
+                for j in range(5)
+            ]),
+        )
+        ltext = F.concat(
+            lines5,
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.lit("\nsubscribe to the hot boiler line"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 25 == 0,
+                F.lit("\nsecond boiler line beta"),
+            ).otherwise(F.lit("")),
+        )
+        ldocs = docs.select("doc_id", ltext.alias("text")).persist()
+        n_in = ldocs.count()
+
+        def run():
+            out = D.remove_duplicate_lines(ldocs)
+            # per-row metrics in a PROJECT, aggregate only column refs
+            # (the exactsubstr HOF-in-Aggregate lesson applies: the
+            # rewritten text is a filter()+concat_ws expression)
+            m = out.select(
+                "n_removed_lines",
+                F.pmod(F.xxhash64("text"), F.lit(10**9)).alias("th"),
+                (F.length("text") == 0).cast("long").alias("emptied"),
+            )
+            got = m.agg(
+                F.count("*"), F.sum("n_removed_lines"),
+                F.sum("th"), F.sum("emptied"),
+            ).first()
+            return {"rows_out": int(got[0]), "removed_lines": int(got[1]),
                     "text_checksum": int(got[2]),
                     "emptied_docs": int(got[3])}
     elif task == "text_metrics":
