@@ -1021,7 +1021,16 @@ def q_ann_lsh(spark, sf_dir):
     recall@k of the Spark LSH pipeline vs the Spark brute-force baseline,
     over deterministic integer-valued vectors; the DuckDB twin recomputes
     both top-k sets with an independent pure-Python implementation (see
-    harness.q_ann_lsh_recall / ann_lsh_oracle_sql) and joins them."""
+    harness.q_ann_lsh_recall / ann_lsh_oracle_sql) and joins them.
+
+    r7-late: + kinds 'semdup'/'semdup_keep' — SemDeDup (Abbas et al.
+    2023, operators.similarity.semantic_dedup): quantizer cell
+    assignment, within-cell >= 0.94-cosine dup components, and the
+    keep-the-outlier (lowest centroid-cosine) survivor rule, each
+    hash-matched against the pure-Python union-find twin
+    (harness._py_semdedup). The 0.94 threshold sits mid-gap in the
+    fixture's score distribution (no pair in [0.90, 0.97]), so no
+    float-last-ulp divergence can flip a pair decision."""
     from companycatalogcrawlerparser_spark import harness as _H
 
     return _H.q_ann_lsh_recall(spark, sf_dir)

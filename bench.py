@@ -182,7 +182,7 @@ def run_crawl_bench(
 # streaming auditor while CONSTRUCTING the frame — that cost belongs to
 # the audit kind but is paid before any action).
 FOLDED_KINDS = {
-    "ann_lsh": ["lsh", "ivf", "ivf_arrow"],
+    "ann_lsh": ["lsh", "ivf", "ivf_arrow", "semdup"],
     "events_windows": ["window", "audit"],
     "warc_ingest": ["whole", "ranged", "indexed"],
     "corpus_curation": ["sample", "pack", "order", "cap", "chunk", "packseq"],

@@ -539,6 +539,11 @@ ANN_N, ANN_DIM, ANN_PLANES, ANN_K, ANN_NQ = 400, 16, 5, 5, 20
 # IVF coarse quantizer: 12 pivot cells, 3-cell probe (cluster siblings
 # share their query's cell, so recall stays meaningful at nprobe=3)
 ANN_CELLS, ANN_NPROBE = 12, 3
+# SemDeDup threshold: the fixture's within-cell cosine distribution has
+# NO pair score in [0.90, 0.97] (cluster siblings land >= 0.97, the rest
+# < 0.90), so 0.94 sits mid-gap — a 1-ulp float divergence between
+# engines cannot flip any pair decision
+SEMDUP_THRESHOLD = 0.94
 
 
 def _ann_vec(i: int):
@@ -645,6 +650,84 @@ def _py_topk(kind: str):
     return out
 
 
+def _py_semdedup():
+    """Pure-Python SemDeDup twin with the engine's exact semantics
+    (similarity.semantic_dedup): pivots = the ANN_CELLS rows with
+    smallest md5(id); cell = argmax cosine to pivot (HALF_UP 1e-6,
+    ties -> higher index); within-cell pairs with rounded cosine >=
+    SEMDUP_THRESHOLD union-found into components labeled by min id;
+    keep = the member with LOWEST centroid cosine (farthest from the
+    quantizer centroid), ties -> lower id. All dots/norms are float64
+    left-folds, matching the JVM expression order bit-for-bit."""
+    import hashlib as _hl
+    import math
+    from collections import defaultdict
+
+    rows = _ann_rows()
+    vec = dict(rows)
+    pivot_ids = sorted(
+        (r[0] for r in rows),
+        key=lambda i: (_hl.md5(str(i).encode()).hexdigest(), i),
+    )[:ANN_CELLS]
+    cents = [vec[i] for i in pivot_ids]
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    def norm(a):
+        acc = 0.0
+        for x in a:
+            acc += x * x
+        return math.sqrt(acc)
+
+    cnorm = [norm(c) for c in cents]
+    assign = {}
+    for i, v in rows:
+        nv = norm(v)
+        assign[i] = max(
+            (_round6_half_up(dot(v, c) / (nv * nc)), ci)
+            for ci, (c, nc) in enumerate(zip(cents, cnorm))
+        )
+    cells = defaultdict(list)
+    for i, _ in rows:
+        cells[assign[i][1]].append(i)
+    parent = {i: i for i, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for members in cells.values():
+        members.sort()
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                a, b = members[ai], members[bi]
+                s = _round6_half_up(
+                    dot(vec[a], vec[b]) / (norm(vec[a]) * norm(vec[b]))
+                )
+                if s >= SEMDUP_THRESHOLD:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    groups = defaultdict(list)
+    for i, _ in rows:
+        groups[find(i)].append(i)
+    out = []
+    for mem in groups.values():
+        label = min(mem)
+        survivor = min(mem, key=lambda i: (assign[i][0], i))
+        for i in mem:
+            out.append(
+                (i, assign[i][1], assign[i][0], label, i == survivor)
+            )
+    return sorted(out)
+
+
 def ann_oracle_dir() -> str:
     if "ann_oracle_dir" in _memo:
         return _memo["ann_oracle_dir"]
@@ -658,6 +741,14 @@ def ann_oracle_dir() -> str:
             "neighbor_id": [r[1] for r in rows],
             "rank": [r[2] for r in rows],
         })
+    sd = _py_semdedup()
+    _write(d, "ann_semdup", {
+        "vec_id": [r[0] for r in sd],
+        "cell": [r[1] for r in sd],
+        "cent_cos": [r[2] for r in sd],
+        "component": [r[3] for r in sd],
+        "keep": [r[4] for r in sd],
+    })
     _memo["ann_oracle_dir"] = d
     return d
 
@@ -713,7 +804,27 @@ def q_ann_lsh_recall(spark, sf_dir) -> DataFrame:
             ).alias("recall"),
         )
         out = part if out is None else out.unionByName(part)
-    return out
+    # r7: SemDeDup under the same hard signal — kind='semdup' carries
+    # (vec_id, component, cent_cos) for every vector, kind='semdup_keep'
+    # only the keep-the-outlier survivors, so the quantizer assignment,
+    # the dup-group connectivity AND the keep-farthest rule all
+    # hash-match the pure-Python twin (_py_semdedup)
+    sd = SIM.semantic_dedup(
+        df, n_cells=ANN_CELLS, threshold=SEMDUP_THRESHOLD
+    )
+    sem = sd.select(
+        F.lit("semdup").alias("kind"),
+        F.col("vec_id").alias("query_id"),
+        F.col("component").alias("n_match"),
+        F.round("cent_cos", 6).alias("recall"),
+    )
+    keepers = sd.filter("keep").select(
+        F.lit("semdup_keep").alias("kind"),
+        F.col("vec_id").alias("query_id"),
+        F.col("component").alias("n_match"),
+        F.lit(None).cast("double").alias("recall"),
+    )
+    return out.unionByName(sem).unionByName(keepers)
 
 
 def ann_lsh_oracle_sql() -> str:
@@ -739,10 +850,21 @@ LEFT JOIN (
     # is cell-for-cell agreement with the expr kernel, so hash-matching
     # the same Python-twin top-k IS the kernel-equivalence check under
     # the driver's hard signal (stronger than the fixture pytest alone)
+    semdup = os.path.join(d, "ann_semdup.parquet")
     return (
         one("lsh")
         + " UNION ALL " + one("ivf")
         + " UNION ALL " + one("ivf_arrow", src="ivf")
+        + f"""
+UNION ALL
+SELECT 'semdup' AS kind, vec_id AS query_id, component AS n_match,
+       round(cent_cos, 6) AS recall
+FROM read_parquet('{semdup}')
+UNION ALL
+SELECT 'semdup_keep' AS kind, vec_id AS query_id, component AS n_match,
+       CAST(NULL AS DOUBLE) AS recall
+FROM read_parquet('{semdup}') WHERE keep
+"""
     )
 
 

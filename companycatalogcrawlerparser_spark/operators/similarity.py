@@ -798,6 +798,117 @@ def cosine_pairs(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    n_cells: int = 12,
+    threshold: float = 0.94,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int = 4096,
+    observation=None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) re-expressed
+    relationally: coarse-quantize the corpus into ``n_cells`` cells
+    (:func:`ivf_pivots` — the deterministic md5-sample quantizer the
+    IVF ANN path already uses), connect WITHIN-cell pairs whose exact
+    cosine (6dp) >= ``threshold``, and keep ONE member per connected
+    duplicate group — the member FARTHEST from its cell centroid
+    (lowest cent_cos: the paper's keep-the-outlier rule, preserving
+    diversity), ties to the lower id.
+
+    Returns one row per corpus vector: (id, cell, cent_cos, component,
+    keep) — component = the dup group's min reachable id (own id for
+    singletons), keep = the survivor flag; ``.filter('keep')`` IS the
+    semantically deduplicated corpus.
+
+    Scale shape: pair generation is confined to cells (the paper's own
+    device — n_cells scales with the corpus so cell population stays
+    bounded); cells above ``max_cell`` are excluded from pair
+    generation with the skipped volume observable IN the producing job
+    (``observation``: skipped_rows / max_cell_seen — the
+    minhash/cosine cap contract; an over-cap cell is an
+    exact-dup-scale cluster ``dedup.exact_dedup`` should collapse
+    first). The dup graph is orders smaller than the corpus, so the
+    connected-components fixpoint runs on pairs only; the corpus
+    itself touches one cell-key join and one component join. The
+    eager localCheckpoint pins the interpreted HOF cell scoring,
+    which otherwise re-evaluates once per consumer (pair join probe,
+    pair join build, final labeling)."""
+    from .dedup import connected_components
+
+    cents = ivf_pivots(corpus, n_cells, id_col, vec_col)
+    m = F.array_max(_cell_scores(F.col(vec_col), cents))
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        m["i"].alias("cell"),
+        m["s"].alias("cent_cos"),
+    ).localCheckpoint(eager=True)
+    sized = assigned.withColumn(
+        "__n", F.count("*").over(Window.partitionBy("cell"))
+    )
+    if observation is not None:
+        sized = sized.observe(
+            observation,
+            F.sum(
+                F.when(F.col("__n") > max_cell, 1).otherwise(0)
+            ).alias("skipped_rows"),
+            F.max("__n").alias("max_cell_seen"),
+        )
+    inpair = (
+        sized.filter(F.col("__n") <= max_cell)
+        .drop("__n")
+        .withColumn("__n2", _norm(F.col(vec_col)))
+    )
+    if observation is not None:
+        # fire the observed metrics in exactly ONE job: the frame below
+        # is self-joined, and a CollectMetrics node that appears on both
+        # sides of a join breaks Observation.get when the consuming
+        # action is an RDD-path localCheckpoint (measured: count()
+        # tolerates the duplication, connected_components' eager
+        # checkpoint does not — the JVM get asserts). The checkpoint
+        # also evaluates the cell-count window once instead of once per
+        # join side.
+        inpair = inpair.localCheckpoint(eager=True)
+    a, b = inpair.alias("a"), inpair.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn(
+            "score",
+            F.round(
+                _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a.__n2") * F.col("b.__n2")),
+                6,
+            ),
+        )
+        .filter(F.col("score") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+    )
+    cc = connected_components(pairs).withColumnRenamed("node", id_col)
+    labeled = (
+        assigned.select(id_col, "cell", "cent_cos")
+        .join(cc, id_col, "left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+    )
+    surv = labeled.groupBy("component").agg(
+        F.min(F.struct("cent_cos", id_col)).alias("__s")
+    )
+    return labeled.join(surv, "component").select(
+        id_col,
+        "cell",
+        "cent_cos",
+        "component",
+        (F.col("__s")[id_col] == F.col(id_col)).alias("keep"),
+    )
+
+
 def cosine_oversized_buckets(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     num_planes: int | None = 6, dim: int | None = None,

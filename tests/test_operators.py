@@ -664,6 +664,58 @@ class TestSimilarity:
             "query_id", "neighbor_id", "score", "rank",
         ]
 
+    def _semdup_corpus(self, spark):
+        # two tight duplicate groups + one singleton: within-group
+        # cosine ~0.9999, across-group ~0
+        rows = [
+            (0, [10.0, 0.0, 0.0, 0.0]),
+            (1, [10.0, 0.1, 0.0, 0.0]),
+            (2, [10.0, 0.0, 0.1, 0.0]),
+            (3, [0.0, 10.0, 0.0, 0.0]),
+            (4, [0.0, 10.0, 0.1, 0.0]),
+            (5, [0.0, 0.0, 10.0, 0.0]),
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def test_semantic_dedup_groups_and_keep_rule(self, spark):
+        # n_cells=1 pins the quantizer to one cell, isolating the
+        # grouping + survivor semantics (the md5-pivot cell assignment
+        # itself is hash-verified by the ann_lsh driver row)
+        out = SIM.semantic_dedup(
+            self._semdup_corpus(spark), n_cells=1, threshold=0.98
+        ).collect()
+        comp = {r["vec_id"]: r["component"] for r in out}
+        assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+        keepers = {r["vec_id"] for r in out if r["keep"]}
+        assert len(keepers) == 3 and 5 in keepers
+        # keep-the-outlier: within each multi group the survivor has
+        # the LOWEST centroid cosine (ties -> lower id)
+        by_comp = {}
+        for r in out:
+            by_comp.setdefault(r["component"], []).append(r)
+        for members in by_comp.values():
+            want = min(members, key=lambda r: (r["cent_cos"], r["vec_id"]))
+            assert {r["vec_id"] for r in members if r["keep"]} == {
+                want["vec_id"]
+            }
+
+    def test_semantic_dedup_max_cell_cap_observable(self, spark):
+        from pyspark.sql import Observation
+
+        obs = Observation("semdup_cap")
+        out = SIM.semantic_dedup(
+            self._semdup_corpus(spark), n_cells=1, threshold=0.98,
+            max_cell=3, observation=obs,
+        ).collect()
+        # the single 6-row cell is over-cap: no pairs generated, every
+        # vector its own singleton survivor — and the skipped volume is
+        # reported by the producing job, not silently dropped
+        assert all(r["keep"] and r["component"] == r["vec_id"] for r in out)
+        assert obs.get["skipped_rows"] == 6
+        assert obs.get["max_cell_seen"] == 6
+
 
 class TestTextQuality:
     def test_langid(self, spark):
