@@ -806,6 +806,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     max_cell: int = 4096,
     observation=None,
+    kernel: str = "expr",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) re-expressed
     relationally: coarse-quantize the corpus into ``n_cells`` cells
@@ -833,17 +834,74 @@ def semantic_dedup(
     itself touches one cell-key join and one component join. The
     eager localCheckpoint pins the interpreted HOF cell scoring,
     which otherwise re-evaluates once per consumer (pair join probe,
-    pair join build, final labeling)."""
+    pair join build, final labeling).
+
+    ``kernel`` selects the scoring implementation, NOT the semantics:
+    "expr" (the hash-verified driver path) folds per-cell cosine
+    expressions and self-joins within cells; "arrow" — the scale path
+    when n_cells·dim per-row expression work or the within-cell pair
+    count dominates — assigns cells with one sequential-order numpy
+    matmul per Arrow batch and emits dup pairs from a per-cell blocked
+    gram matrix inside ``applyInPandas``. Both kernels share
+    :func:`_np_seqdot`-style ascending-index accumulation + HALF-UP
+    1e-6 rounding, so scores (and therefore cells, pairs, components,
+    survivors) are bit-identical — pinned row-for-row by
+    tests/test_operators.py::TestSimilarity."""
     from .dedup import connected_components
 
+    if kernel not in ("expr", "arrow"):
+        raise ValueError(f"unknown semantic_dedup kernel {kernel!r}")
     cents = ivf_pivots(corpus, n_cells, id_col, vec_col)
-    m = F.array_max(_cell_scores(F.col(vec_col), cents))
-    assigned = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        m["i"].alias("cell"),
-        m["s"].alias("cent_cos"),
-    ).localCheckpoint(eager=True)
+    if kernel == "expr":
+        m = F.array_max(_cell_scores(F.col(vec_col), cents))
+        assigned = corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            m["i"].alias("cell"),
+            m["s"].alias("cent_cos"),
+        ).localCheckpoint(eager=True)
+    else:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        globals().setdefault("pd", pd)
+        cents_local = [list(map(float, c)) for c in cents]
+
+        @pandas_udf("struct<cell:int, cent_cos:double>")
+        def cell_and_score(vecs: pd.Series) -> pd.DataFrame:
+            import numpy as np
+
+            C = np.asarray(cents_local, dtype=np.float64)
+            cn = _np_seqnorm(C)
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            vn = _np_seqnorm(M)
+            scores = _np_round6(
+                _np_seqdot(M, C) / (vn[:, None] * cn[None, :])
+            )
+            # ties to the higher index, like struct-max over (s, i)
+            rev = scores[:, ::-1]
+            idx = scores.shape[1] - 1 - rev.argmax(axis=1)
+            return pd.DataFrame({
+                "cell": idx.astype("int32"),
+                "cent_cos": scores[np.arange(len(idx)), idx],
+            })
+
+        assigned = (
+            corpus.select(
+                F.col(id_col),
+                F.col(vec_col),
+                cell_and_score(F.col(vec_col)).alias("__cs"),
+            )
+            # expand from ONE aliased struct so the Arrow UDF runs once
+            # per row, not once per extracted field
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.col("__cs.cell").alias("cell"),
+                F.col("__cs.cent_cos").alias("cent_cos"),
+            )
+            .localCheckpoint(eager=True)
+        )
     sized = assigned.withColumn(
         "__n", F.count("*").over(Window.partitionBy("cell"))
     )
@@ -855,42 +913,94 @@ def semantic_dedup(
             ).alias("skipped_rows"),
             F.max("__n").alias("max_cell_seen"),
         )
-    inpair = (
-        sized.filter(F.col("__n") <= max_cell)
-        .drop("__n")
-        .withColumn("__n2", _norm(F.col(vec_col)))
-    )
-    if observation is not None:
-        # fire the observed metrics in exactly ONE job: the frame below
-        # is self-joined, and a CollectMetrics node that appears on both
-        # sides of a join breaks Observation.get when the consuming
-        # action is an RDD-path localCheckpoint (measured: count()
-        # tolerates the duplication, connected_components' eager
-        # checkpoint does not — the JVM get asserts). The checkpoint
-        # also evaluates the cell-count window once instead of once per
-        # join side.
-        inpair = inpair.localCheckpoint(eager=True)
-    a, b = inpair.alias("a"), inpair.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    inpair = sized.filter(F.col("__n") <= max_cell).drop("__n")
+    if kernel == "expr":
+        inpair = inpair.withColumn("__n2", _norm(F.col(vec_col)))
+        if observation is not None:
+            # fire the observed metrics in exactly ONE job: the frame
+            # below is self-joined, and a CollectMetrics node that
+            # appears on both sides of a join breaks Observation.get
+            # when the consuming action is an RDD-path localCheckpoint
+            # (measured: count() tolerates the duplication,
+            # connected_components' eager checkpoint does not — the JVM
+            # get asserts). The checkpoint also evaluates the cell-count
+            # window once instead of once per join side.
+            inpair = inpair.localCheckpoint(eager=True)
+        a, b = inpair.alias("a"), inpair.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.cell") == F.col("b.cell"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .withColumn(
+                "score",
+                F.round(
+                    _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                    / (F.col("a.__n2") * F.col("b.__n2")),
+                    6,
+                ),
+            )
+            .filter(F.col("score") >= threshold)
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
         )
-        .withColumn(
-            "score",
-            F.round(
-                _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-                / (F.col("a.__n2") * F.col("b.__n2")),
-                6,
-            ),
+    else:
+        from pyspark.sql.types import StructField, StructType
+
+        if observation is not None:
+            # same guard as the expr branch: even a SINGLE CollectMetrics
+            # node breaks Observation.get when its first consuming action
+            # is connected_components' RDD-path localCheckpoint (measured
+            # here too) — fire the metrics with a DataFrame-path action
+            # first
+            inpair = inpair.localCheckpoint(eager=True)
+        id_type = corpus.schema[id_col].dataType
+        pair_schema = StructType([
+            StructField("id_a", id_type), StructField("id_b", id_type)
+        ])
+        thr = float(threshold)
+
+        def _emit_cell_pairs(pdf):
+            import numpy as np
+            import pandas as pd
+
+            n = len(pdf)
+            if n < 2:
+                return pd.DataFrame({"id_a": [], "id_b": []})
+            # ascending-id order so block row index < column index IS
+            # the expr join's id_a < id_b condition
+            pdf = pdf.sort_values(id_col, kind="mergesort")
+            ids = pdf[id_col].to_numpy()
+            M = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            nrm = _np_seqnorm(M)
+            out_a, out_b = [], []
+            # blocked gram: a max_cell-sized cell's full matrix would be
+            # max_cell² float64; 1024-row blocks bound peak memory at
+            # 1024·max_cell·8 bytes while keeping numpy vectorization
+            for i0 in range(0, n, 1024):
+                blk = slice(i0, min(i0 + 1024, n))
+                s = _np_round6(
+                    _np_seqdot(M[blk], M)
+                    / (nrm[blk, None] * nrm[None, :])
+                )
+                ii, jj = np.nonzero(s >= thr)
+                gi = ii + i0
+                keep = gi < jj  # upper triangle only
+                out_a.append(ids[gi[keep]])
+                out_b.append(ids[jj[keep]])
+            return pd.DataFrame({
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+            })
+
+        pairs = inpair.groupBy("cell").applyInPandas(
+            _emit_cell_pairs, pair_schema
         )
-        .filter(F.col("score") >= threshold)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-    )
     cc = connected_components(pairs).withColumnRenamed("node", id_col)
     labeled = (
         assigned.select(id_col, "cell", "cent_cos")

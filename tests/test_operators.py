@@ -715,6 +715,47 @@ class TestSimilarity:
         assert all(r["keep"] and r["component"] == r["vec_id"] for r in out)
         assert obs.get["skipped_rows"] == 6
         assert obs.get["max_cell_seen"] == 6
+        # the arrow kernel honors the same cap with the same in-job
+        # observability
+        obs2 = Observation("semdup_cap_arrow")
+        out2 = SIM.semantic_dedup(
+            self._semdup_corpus(spark), n_cells=1, threshold=0.98,
+            max_cell=3, observation=obs2, kernel="arrow",
+        ).collect()
+        assert all(r["keep"] and r["component"] == r["vec_id"] for r in out2)
+        assert obs2.get["skipped_rows"] == 6
+
+    def test_semantic_dedup_arrow_kernel_bit_equal(self, spark):
+        """kernel='arrow' (matmul assignment + per-cell blocked-gram
+        pair emission) is BIT-identical to the hash-verified expr
+        kernel — same sequential-fold accumulation order and HALF-UP
+        rounding (_np_seqdot/_np_seqnorm/_np_round6), so every cell,
+        cent_cos, component label, and keep flag agrees row-for-row."""
+        rng = np.random.default_rng(7)
+        base = [[float(x) for x in rng.normal(size=8)] for _ in range(90)]
+        rows = [(i, v) for i, v in enumerate(base)]
+        # every 6th vector gets a near-duplicate (one nudged coordinate)
+        rows += [
+            (1000 + i, [v[0] + 0.01] + v[1:])
+            for i, v in enumerate(base)
+            if i % 6 == 0
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+        def norm(df):
+            return sorted(tuple(r) for r in df.collect())
+
+        e = norm(SIM.semantic_dedup(emb, n_cells=10, threshold=0.9))
+        a = norm(
+            SIM.semantic_dedup(
+                emb, n_cells=10, threshold=0.9, kernel="arrow"
+            )
+        )
+        assert e == a
+        # the fixture actually exercises grouping: some non-survivors
+        assert sum(1 for r in e if not r[4]) >= 10
 
 
 class TestTextQuality:

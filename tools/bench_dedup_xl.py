@@ -779,6 +779,44 @@ def _task_action(spark, task: str, data_dir: str):
             m = obs.get
             return {"rows_out": n, "skipped_rows": int(m["skipped_rows"] or 0),
                     "max_bucket_seen": int(m["max_bucket_seen"])}
+    elif task == "semdedup":
+        # SemDeDup at scale (r7, arrow kernel): quantizer cells sized so
+        # avg cell population stays bounded (the paper's own device) —
+        # pair work is N·avg_cell/2 gram entries, never all-pairs.
+        n_cells = int(os.environ.get("SEMDUP_CELLS", "4096"))
+
+        def run():
+            obs = Observation()
+            out = SIM.semantic_dedup(
+                vecs, n_cells=n_cells, threshold=0.95,
+                observation=obs, kernel="arrow",
+            )
+            # integer checksum over the FULL output tuple (per-row
+            # xxhash64 cast to long before the sum — order-invariant),
+            # so cross-core bit-identity covers cells, cent_cos,
+            # components AND keep flags
+            got = out.agg(
+                F.count("*").alias("n"),
+                F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("k"),
+                F.countDistinct("component").alias("c"),
+                # pmod keeps the 500k-term sum far inside int64 (ANSI)
+                F.sum(F.pmod(F.xxhash64(
+                    F.col("vec_id").cast("string"),
+                    F.col("cell").cast("string"),
+                    F.round(F.col("cent_cos") * 1e6)
+                    .cast("long").cast("string"),
+                    F.col("component").cast("string"),
+                    F.col("keep").cast("string"),
+                ), F.lit(1_000_000_007))).alias("chk"),
+            ).first()
+            m = obs.get
+            return {
+                "rows_out": int(got["n"]), "survivors": int(got["k"]),
+                "components": int(got["c"]), "checksum": int(got["chk"]),
+                "n_cells": n_cells,
+                "skipped_rows": int(m["skipped_rows"] or 0),
+                "max_cell_seen": int(m["max_cell_seen"]),
+            }
     elif task in ("cosine_topk_ivf", "cosine_topk_ivf_expr"):
         kern = "arrow" if task == "cosine_topk_ivf" else "expr"
         n_cells = int(os.environ.get("IVF_CELLS", "64"))
