@@ -860,6 +860,16 @@ def q_corpus_curation(spark, sf_dir):
         .cast("long")
         .alias("val"),
     )
+    # kinds 'bpe_merge'/'bpe_word'/'bpe_doc' (r7-late): BPE tokenizer
+    # training + corpus encoding (operators.bpe) over the deterministic
+    # sf-independent fixture corpus, vs the recount-from-scratch pure-
+    # Python twin (harness._py_bpe) — merge order, per-word greedy
+    # encoding, and per-doc subword streams all under the hash signal
+    from companycatalogcrawlerparser_spark import harness as _H
+
+    bpe = _H.q_bpe_rows(spark).select(
+        "kind", F.col("doc_id").cast("long").alias("doc_id"), "grp", "val"
+    )
     return (
         samp.unionByName(pack)
         .unionByName(order)
@@ -867,6 +877,7 @@ def q_corpus_curation(spark, sf_dir):
         .unionByName(chunk)
         .unionByName(pseq_b)
         .unionByName(pseq_t)
+        .unionByName(bpe)
     )
 
 
@@ -1816,6 +1827,7 @@ UNION ALL
 SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM pseq_b
 UNION ALL
 SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM pseq_t
+{_H.bpe_oracle_union_sql()}
 """,
         # one-shot twin of the STREAMING dedup row: identical signatures,
         # but the cap is an arrival-RANK predicate (first cap admitted),

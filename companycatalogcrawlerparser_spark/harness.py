@@ -753,6 +753,222 @@ def ann_oracle_dir() -> str:
     return d
 
 
+# --- BPE tokenizer fixture (corpus_curation kinds bpe_merge/word/doc) ------
+# Like the ANN fixture: a deterministic sf-independent corpus both
+# engines build identically, because greedy merge learning is genuinely
+# not SQL-expressible — the twin is pure Python under the hash signal.
+BPE_DOCS, BPE_VOCAB, BPE_NMERGES = 300, 120, 60
+
+
+def _bpe_fixture_rows() -> list:
+    """300 docs of 20-49 words over a 120-pseudo-word vocabulary built
+    from a SHARED syllable pool (so merge candidates are contested
+    across words), word choice md5-driven and quadratically skewed
+    toward low indices (zipf-ish — high-frequency words dominate merge
+    votes, like real text)."""
+    import hashlib as _hl
+
+    syll = ["ab", "ba", "ca", "da", "er", "in", "on", "re", "st", "th",
+            "qu", "zo"]
+    words = []
+    for i in range(BPE_VOCAB):
+        h = _hl.md5(f"w{i}".encode()).hexdigest()
+        n = 2 + int(h[0], 16) % 3
+        words.append(
+            "".join(syll[int(h[1 + j], 16) % len(syll)] for j in range(n))
+        )
+    docs = []
+    for d in range(BPE_DOCS):
+        h = _hl.md5(f"d{d}".encode()).hexdigest()
+        n = 20 + int(h[:2], 16) % 30
+        toks = []
+        for j in range(n):
+            u = int(_hl.md5(f"t{d}-{j}".encode()).hexdigest()[:8], 16) / 16**8
+            toks.append(words[min(int(u * u * len(words)), len(words) - 1)])
+        docs.append((d, " ".join(toks)))
+    return docs
+
+
+def _md5_int15(s: str) -> int:
+    import hashlib as _hl
+
+    return int(_hl.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_bpe() -> list:
+    """Independent pure-Python BPE twin over the fixture corpus. Unlike
+    the engine's learn_bpe (incremental pair-count maintenance), this
+    RECOUNTS all pairs every round — a genuinely different algorithm
+    whose agreement is evidence, not tautology. Emits (kind, doc_id,
+    grp, val) rows: 'bpe_merge' (rank → pair + its count at merge
+    time), 'bpe_word' (every distinct corpus word → subword count +
+    md5-int of the space-joined tokenization), 'bpe_doc' (per doc:
+    grp='n' subword total, grp='fp' md5-int of the full tokenized
+    stream in document order)."""
+    from collections import Counter
+
+    docs = _bpe_fixture_rows()
+    wc: Counter = Counter()
+    for _d, text in docs:
+        wc.update(w for w in text.split() if w)
+
+    vocab = {tuple(w): f for w, f in wc.items()}
+    merges = []
+    for _ in range(BPE_NMERGES):
+        pairs: Counter = Counter()
+        for syms, f in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] += f
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        merges.append((a, b, n))
+        new = {}
+        for syms, f in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (a, b):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        vocab = new
+
+    ranks = {(a, b): i for i, (a, b, _n) in enumerate(merges)}
+
+    def enc(word):
+        s = list(word)
+        while len(s) > 1:
+            cand = [
+                (ranks[(x, y)], (x, y))
+                for x, y in zip(s, s[1:])
+                if (x, y) in ranks
+            ]
+            if not cand:
+                break
+            _rk, pair = min(cand)
+            out = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == pair:
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return s
+
+    rows = [
+        ("bpe_merge", i, f"{a} {b}", n)
+        for i, (a, b, n) in enumerate(merges)
+    ]
+    enc_cache = {w: enc(w) for w in {w for w in wc}}
+    for w, toks in enc_cache.items():
+        rows.append(("bpe_word", len(toks), w, _md5_int15(" ".join(toks))))
+    for d, text in docs:
+        stream = [t for w in text.split() if w for t in enc_cache[w]]
+        rows.append(("bpe_doc", d, "n", len(stream)))
+        rows.append(("bpe_doc", d, "fp", _md5_int15(" ".join(stream))))
+    return rows
+
+
+def bpe_oracle_dir() -> str:
+    if "bpe_oracle_dir" in _memo:
+        return _memo["bpe_oracle_dir"]
+    d = tempfile.mkdtemp(prefix="ccp_bpe_oracle_")
+    rows = _py_bpe()
+    _write(d, "bpe", {
+        "kind": [r[0] for r in rows],
+        "doc_id": [r[1] for r in rows],
+        "grp": [r[2] for r in rows],
+        "val": [r[3] for r in rows],
+    })
+    _memo["bpe_oracle_dir"] = d
+    return d
+
+
+def _md5_int15_col(c) -> "F.Column":
+    """Column twin of :func:`_md5_int15`: first 15 hex chars of the md5
+    as a base-10 long (15 hex digits < 2^60, safely inside int64)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def q_bpe_rows(spark) -> DataFrame:
+    """Engine half of the BPE fixture kinds, folded into the
+    corpus_curation driver row (same (kind, doc_id, grp, val) shape):
+    train the tokenizer with the distributed word-count + size-gated
+    merge loop (operators.bpe), then emit
+
+    - 'bpe_merge' — every learned merge in rank order (doc_id = rank,
+      grp = "left right", val = pair frequency at merge time): pins the
+      greedy selection ORDER and the contested-count arithmetic against
+      the recount-from-scratch Python twin (_py_bpe);
+    - 'bpe_word' — every distinct corpus word (grp) with its subword
+      count (doc_id) and md5-int of the space-joined tokenization
+      (val): pins greedy rank-order encoding per word;
+    - 'bpe_doc' — per document, grp='n' the subword total and grp='fp'
+      the md5-int of the full subword stream in document order: pins
+      the tokenize-once occurrence join + positional reassembly of
+      encode_corpus.
+    """
+    from .operators import bpe as B
+
+    docs = spark.createDataFrame(
+        _bpe_fixture_rows(), "doc_id long, text string"
+    )
+    wc = B.word_counts(docs)
+    merges = B.learn_bpe(wc, num_merges=BPE_NMERGES, min_freq=2)
+    merge_rows = spark.createDataFrame(
+        [(i, f"{a} {b}", n) for i, (a, b, n) in enumerate(merges)],
+        "doc_id long, grp string, val long",
+    ).select(F.lit("bpe_merge").alias("kind"), "doc_id", "grp", "val")
+    words = B.encode_words(wc.select("word"), merges).select(
+        F.lit("bpe_word").alias("kind"),
+        F.col("n_sub").cast("long").alias("doc_id"),
+        F.col("word").alias("grp"),
+        _md5_int15_col(F.array_join("bpe_tokens", " ")).alias("val"),
+    )
+    enc = B.encode_corpus(docs, merges)
+    doc_n = enc.select(
+        F.lit("bpe_doc").alias("kind"),
+        "doc_id",
+        F.lit("n").alias("grp"),
+        F.col("n_bpe_tokens").alias("val"),
+    )
+    # bpe_fp is already the md5 hex of the joined stream — reduce it the
+    # same way the twin does (first 15 hex chars as an int)
+    doc_fp = enc.select(
+        F.lit("bpe_doc").alias("kind"),
+        "doc_id",
+        F.lit("fp").alias("grp"),
+        F.conv(F.substring("bpe_fp", 1, 15), 16, 10)
+        .cast("long")
+        .alias("val"),
+    )
+    return (
+        merge_rows.unionByName(words)
+        .unionByName(doc_n)
+        .unionByName(doc_fp)
+    )
+
+
+def bpe_oracle_union_sql() -> str:
+    """UNION ALL fragment appended to the corpus_curation oracle: the
+    pure-Python twin's rows, read back from parquet."""
+    p = os.path.join(bpe_oracle_dir(), "bpe.parquet")
+    return f"""
+UNION ALL
+SELECT kind, CAST(doc_id AS BIGINT) AS doc_id, grp,
+       CAST(val AS BIGINT) AS val
+FROM read_parquet('{p}')"""
+
+
 def q_ann_lsh_recall(spark, sf_dir) -> DataFrame:
     """Labeled union: recall@K vs the brute-force truth for BOTH
     approximate paths — kind='lsh' (hyperplane buckets) and kind='ivf'
