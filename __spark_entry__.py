@@ -30,6 +30,7 @@ from companycatalogcrawlerparser_spark.operators import curation as CU
 from companycatalogcrawlerparser_spark.operators import dedup as D
 from companycatalogcrawlerparser_spark.operators import dsir as DSR
 from companycatalogcrawlerparser_spark.operators import linkgraph as LG
+from companycatalogcrawlerparser_spark.operators import lm as LM
 from companycatalogcrawlerparser_spark.operators import pii as PII
 from companycatalogcrawlerparser_spark.operators import similarity as SIM
 from companycatalogcrawlerparser_spark.operators import textquality as TQ
@@ -1000,6 +1001,15 @@ def q_text_metrics(spark, sf_dir):
         F.round("dsir_score", 6).alias("dsir_score"),
         "n_features",
     )
+    # r7-late: + CCNet perplexity columns (operators.lm, Wenzek et al.
+    # 2020): a Laplace-smoothed bigram LM trained on the SAME trusted
+    # slice DSIR targets (doc_id % 5 == 0), scored over every doc.
+    # lm_logp = Σ ln p(w|v) rounded 6dp (the dsir float idiom);
+    # n_lm_terms pins the BOS-prefixed tokenization integer-exactly.
+    lmodel = LM.train_bigram_lm(target.select("doc_id", "text"))
+    lmsc = LM.lm_logprob(d.select("doc_id", "text"), lmodel).select(
+        "doc_id", "lm_logp", "n_lm_terms"
+    )
     return d.select(
         "doc_id",
         TQ.predict_lang(F.col("text")).alias("pred_lang"),
@@ -1016,7 +1026,7 @@ def q_text_metrics(spark, sf_dir):
         F.md5(PII.redact_pii(pii_text)).alias("pii_fp"),
         *[v.alias(k) for k, v in gm.items()],
         TQ.gopher_gate(gm).alias("gopher_pass"),
-    ).join(dsir, "doc_id")
+    ).join(dsir, "doc_id").join(lmsc, "doc_id")
 
 
 def q_ann_bruteforce(spark, sf_dir):
@@ -1980,7 +1990,33 @@ dlr AS (SELECT a.bucket,
         LEFT JOIN (SELECT bucket, count(*) AS t FROM dsf WHERE doc_id % 5 = 0 GROUP BY bucket) dtc USING (bucket)
         LEFT JOIN (SELECT bucket, count(*) AS r FROM dsf GROUP BY bucket) drc USING (bucket)),
 dsc AS (SELECT doc_id, sum(log_ratio) AS sc, count(*) AS nf
-        FROM dsf JOIN dlr USING (bucket) GROUP BY doc_id)
+        FROM dsf JOIN dlr USING (bucket) GROUP BY doc_id),
+-- CCNet-bigram-LM twin: Laplace model trained on the doc_id % 5 = 0
+-- slice (p(w|v) = (c_vw+1)/(c_v+V+1), BOS '<s>' at position 0), every
+-- doc scored with the summed natural-log prob of its token stream
+lmtk AS (SELECT doc_id,
+                regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS t
+         FROM documents),
+lmbg AS (SELECT doc_id,
+                CASE WHEN u.i = 1 THEN '<s>' ELSE t[u.i - 1] END AS v,
+                t[u.i] AS w
+         FROM lmtk, UNNEST(generate_series(1, len(t))) AS u(i)
+         WHERE t[u.i] <> ''),
+lmcvw AS (SELECT v, w, count(*) AS c_vw FROM lmbg
+          WHERE doc_id % 5 = 0 GROUP BY v, w),
+lmcv AS (SELECT v, count(*) AS c_v FROM lmbg
+         WHERE doc_id % 5 = 0 GROUP BY v),
+lmsc_ AS (SELECT b.doc_id,
+                 ln((coalesce(c.c_vw, 0) + 1.0)
+                    / (coalesce(cv.c_v, 0)
+                       + (SELECT count(DISTINCT w) FROM lmbg
+                          WHERE doc_id % 5 = 0) + 1.0)) AS lp
+          FROM lmbg b
+          LEFT JOIN lmcvw c ON b.v = c.v AND b.w = c.w
+          LEFT JOIN lmcv cv ON b.v = cv.v),
+lmd AS (SELECT doc_id, round(sum(lp), 6) AS lm_logp,
+               count(*) AS n_lm_terms
+        FROM lmsc_ GROUP BY doc_id)
 SELECT doc_id,
        CASE WHEN ({cyr}) > ({lat}) THEN 'ru'
             WHEN ({lat}) > ({cyr}) THEN 'en'
@@ -2009,8 +2045,11 @@ SELECT doc_id,
         AND gm.top2gram_frac <= 0.2 AND gm.top3gram_frac <= 0.18
         AND gm.dup5gram_frac <= 0.15) AS gopher_pass,
        round(coalesce(dsc.sc, 0.0), 6) AS dsir_score,
-       CAST(coalesce(dsc.nf, 0) AS BIGINT) AS n_features
+       CAST(coalesce(dsc.nf, 0) AS BIGINT) AS n_features,
+       round(coalesce(lmd.lm_logp, 0.0), 6) AS lm_logp,
+       CAST(coalesce(lmd.n_lm_terms, 0) AS BIGINT) AS n_lm_terms
 FROM f JOIN gm USING (doc_id) LEFT JOIN dsc USING (doc_id)
+     LEFT JOIN lmd USING (doc_id)
 """,
         "ann_bruteforce": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
