@@ -4,7 +4,8 @@ Every stage exists as a standalone operator (textquality / dedup /
 contamination / pii / curation / storage.snapshots); this module is the
 chain a 100 TB user actually runs, as ONE callable: quality gate →
 near-dup survivors (minhash ∪ winnow candidates → exact-Jaccard verify →
-connected-component clustering, one representative kept) → benchmark
+connected-component clustering, one representative kept) → optional
+CCNet perplexity gate (Wenzek et al. 2020) → benchmark
 decontamination → optional exact-substring span removal (Lee et al.
 2021) → PII redaction → optional per-domain cap (Common-Crawl
 style rebalancing) → optional DSIR importance resampling toward a
@@ -43,6 +44,7 @@ from ..operators import contamination as CT
 from ..operators import curation as CUR
 from ..operators import dedup as D
 from ..operators import dsir as DSIR
+from ..operators import lm as LM
 from ..operators import pii as PII
 from ..operators import textquality as TQ
 
@@ -65,6 +67,14 @@ class CurationConfig:
     # stage 2 — near-dup dedup
     jaccard_threshold: float = 0.5
     max_bucket: Optional[int] = 256
+    # stage 2b — CCNet perplexity gate (Wenzek et al. 2020; enabled by
+    # passing lm_ref to curate_training_corpus). Cutoffs are per-token
+    # negative log probs — CCNet freezes them per language from the
+    # reference-corpus score distribution rather than re-deriving them
+    # per batch, so they are explicit inputs here, not computed in-job.
+    lm_head_max: Optional[float] = None
+    lm_tail_min: Optional[float] = None
+    lm_keep: tuple = ("head", "middle")
     # stage 3 — decontamination (skipped when benchmark is None)
     contam_k: int = 8
     contam_threshold: float = 0.5
@@ -106,6 +116,7 @@ def curate_training_corpus(
     round_id: int = 1,
     observations: Optional[dict] = None,
     dsir_target: Optional[DataFrame] = None,
+    lm_ref: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Run the full curation chain over ``docs`` (``id_col``,
     ``text_col``). Returns the packed training frame — one row per kept
@@ -168,6 +179,32 @@ def curate_training_corpus(
     survivors = gated.join(
         clusters.filter(F.col("is_rep")).select(idc), idc
     )
+
+    # 2b. optional CCNet perplexity gate (operators.lm): bucket each
+    # survivor by per-token −ln p under a bigram LM trained on
+    # ``lm_ref`` and keep cfg.lm_keep buckets. Placed where CCNet runs
+    # it — after dedup (scores computed on the deduplicated corpus) and
+    # before decontamination/PII (the gate sees the original bytes).
+    # The model is reference-sized and broadcast; scoring adds one
+    # corpus explode + one groupBy(id), no new corpus-wide join keys.
+    if lm_ref is not None:
+        if cfg.lm_head_max is None or cfg.lm_tail_min is None:
+            raise ValueError(
+                "lm_ref requires lm_head_max and lm_tail_min cutoffs"
+            )
+        model = LM.train_bigram_lm(lm_ref, id_col=idc, text_col=txc)
+        survivors = (
+            LM.lm_logprob(survivors, model, id_col=idc, text_col=txc)
+            .withColumn(
+                "__pb",
+                LM.ppl_bucket(
+                    "lm_logp", "n_lm_terms",
+                    cfg.lm_head_max, cfg.lm_tail_min,
+                ),
+            )
+            .filter(F.col("__pb").isin(list(cfg.lm_keep)))
+            .drop("lm_logp", "n_lm_terms", "ppl", "__pb")
+        )
 
     # 3. decontamination: total decoration → drop flagged docs
     if benchmark is not None:

@@ -233,6 +233,45 @@ class TestCuratePipeline:
         off = curate_training_corpus(docs, None, CFG)
         assert "dsir_score" not in off.columns
 
+    def test_lm_ppl_gate_stage(self, spark):
+        import dataclasses
+
+        import pytest
+
+        docs = _corpus(spark)
+        # reference = the texts of docs 0-9: those docs score head-ish
+        # (their bigrams are IN the model); the md5-word docs beyond
+        # share no bigrams and land in the tail
+        ref = docs.filter("doc_id < 10").select("doc_id", "text")
+        # measured per-token −logp under this ref: docs 0-9 = 4.594
+        # (their bigrams ARE the model), md5-word docs 10-39 = 5.252,
+        # BASE/pii/bench docs ≈ 5.36 — cutoffs sit mid-gap
+        cfg = dataclasses.replace(
+            CFG, lm_head_max=4.9, lm_tail_min=5.3, lm_keep=("head",)
+        )
+        out = curate_training_corpus(docs, None, cfg, lm_ref=ref)
+        kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+        assert kept == set(range(10))
+        # middle band = the out-of-model md5 docs; tail stays dropped
+        cfg2 = dataclasses.replace(cfg, lm_keep=("head", "middle"))
+        kept2 = {
+            r["doc_id"]
+            for r in curate_training_corpus(docs, None, cfg2, lm_ref=ref)
+            .select("doc_id").collect()
+        }
+        assert kept2 == set(range(40))
+        # helper columns don't leak into the packed frame
+        assert not {"lm_logp", "n_lm_terms", "ppl", "__pb"} & set(
+            out.columns
+        )
+        # cutoffs are mandatory when the stage is enabled
+        with pytest.raises(ValueError, match="lm_head_max"):
+            curate_training_corpus(docs, None, CFG, lm_ref=ref)
+        # stage off → nothing gated
+        off = curate_training_corpus(docs, None, CFG)
+        n_off = off.count()
+        assert n_off > len(kept)
+
     def test_observations_wired(self, spark):
         from pyspark.sql import Observation
 
