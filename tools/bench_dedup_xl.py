@@ -179,7 +179,7 @@ def _task_action(spark, task: str, data_dir: str):
         n_in = edges_xl.count()
     elif task in ("minhash_lsh_pairs", "winnow_jaccard", "simhash_groups",
                   "exact_dedup", "exactsubstr", "linededup", "dsir",
-                  "text_metrics",
+                  "text_metrics", "lm_ppl", "bpe_encode",
                   "control_tokenhash", "pipeline_surface", "seqpack",
                   "dedup_pipeline", "pipeline_full", "stream_dedup",
                   "connected_components", "pagerank", "curation",
@@ -666,6 +666,92 @@ def _task_action(spark, task: str, data_dir: str):
             return {"rows_out": int(got[0]),
                     "score_checksum": int(got[1]),
                     "selected_id_checksum": int(got[2])}
+    elif task == "lm_ppl":
+        # CCNet perplexity at corpus scale (operators.lm): reference =
+        # the 1/1000 doc slice (the MBs-model-vs-TBs-corpus ratio the
+        # operator is built for), model trained AND all 1M docs scored
+        # inside the timed run — training is two vocabulary-sized
+        # groupBys riding the same action. Checksums: per-term integer
+        # cast before the sum (order-invariant), n_lm_terms pins the
+        # tokenization exactly, bucket counts exercise ppl_bucket with
+        # fixed CCNet-style cutoffs.
+        from companycatalogcrawlerparser_spark.operators import lm as LMOP
+
+        def run():
+            ref = docs.filter(F.col("doc_id") % 1000 == 0)
+            model = LMOP.train_bigram_lm(ref)
+            scored = LMOP.lm_logprob(docs, model)
+            m = scored.select(
+                (F.round("lm_logp", 6) * 1_000_000)
+                .cast("long").alias("lp_i"),
+                "n_lm_terms",
+                LMOP.ppl_bucket(
+                    "lm_logp", "n_lm_terms", 10.0, 10.5
+                ).alias("b"),
+            )
+            got = m.agg(
+                F.count("*"),
+                F.sum("lp_i"),
+                F.sum("n_lm_terms"),
+                F.sum(F.when(F.col("b") == "head", 1).otherwise(0)),
+                F.sum(F.when(F.col("b") == "tail", 1).otherwise(0)),
+            ).first()
+            return {"rows_out": int(got[0]), "logp_checksum": int(got[1]),
+                    "n_terms": int(got[2]), "n_head": int(got[3]),
+                    "n_tail": int(got[4])}
+    elif task == "bpe_encode":
+        # BPE train + encode at corpus scale (operators.bpe). The stock
+        # XL corpus has a near-uniform random vocabulary (~33M distinct
+        # words at 1M docs — no merge is ever frequent), so the text is
+        # remapped to a 50k-word zipf-ish vocabulary first (cubed-
+        # uniform index skew — high-frequency words dominate merge
+        # votes, like real text). The remap is pre-materialized; the
+        # timed run is train (word_counts shuffle + the size-gated
+        # driver merge loop) + encode_corpus (tokenize-once distinct
+        # join + positional reassembly) end-to-end.
+        from companycatalogcrawlerparser_spark.operators import bpe as B
+
+        nm = int(os.environ.get("BPE_MERGES", "200"))
+        toksb = F.split("text", " ")
+        widx = F.transform(
+            toksb,
+            lambda t: F.floor(
+                F.pow(
+                    F.pmod(F.xxhash64(t), F.lit(10000)) / 10000.0, 3.0
+                ) * 50000
+            ).cast("long"),
+        )
+        btext = F.concat_ws(
+            " ",
+            F.transform(
+                widx,
+                lambda ix: F.concat(
+                    F.lit("w"), F.conv(ix.cast("string"), 10, 36)
+                ),
+            ),
+        )
+        bdocs = docs.select("doc_id", btext.alias("text")).persist()
+        n_in = bdocs.count()
+
+        def run():
+            wc = B.word_counts(bdocs)
+            merges = B.learn_bpe(
+                wc, num_merges=nm, max_vocab_rows=500_000
+            )
+            enc = B.encode_corpus(bdocs, merges)
+            m = enc.select(
+                "n_bpe_tokens",
+                F.pmod(
+                    F.conv(F.substring("bpe_fp", 1, 15), 16, 10)
+                    .cast("long"),
+                    F.lit(1_000_000_007),
+                ).alias("fp_i"),
+            )
+            got = m.agg(
+                F.count("*"), F.sum("n_bpe_tokens"), F.sum("fp_i")
+            ).first()
+            return {"rows_out": int(got[0]), "n_subwords": int(got[1]),
+                    "fp_checksum": int(got[2]), "n_merges": nm}
     elif task == "exactsubstr":
         # ExactSubstr span removal (Lee et al. 2021, dedup.duplicate_
         # spans → remove_duplicate_spans) at corpus scale: n=15 over
