@@ -242,6 +242,22 @@ def oracle_dir() -> str:
         "page_url": [u for u, _ in pg], "page_count": [n for _, n in pg],
     })
 
+    # main-content extraction twin (refsem.content, pure stdlib)
+    import hashlib as _hl
+
+    from .refsem import content as RCNT
+
+    mt = []
+    for u, h in dict(_content_pages()).items():
+        text, n_blocks, n_kept = RCNT.main_content(h)
+        mt.append(
+            (u, f"{n_kept}|{n_blocks}|"
+                f"{_hl.md5(text.encode('utf-8')).hexdigest()}")
+        )
+    _write(d, "maintext", {
+        "page_url": [u for u, _ in mt], "value": [v for _, v in mt],
+    })
+
     _memo["oracle_dir"] = d
     return d
 
@@ -381,7 +397,27 @@ def q_x9_h8_probe(spark, sf_dir) -> DataFrame:
         F.lit("h8").alias("kind"), "page_url",
         F.col("page_count").cast("string").alias("value"),
     )
-    return x9.unionByName(h8)
+    # kind='content' (r7-late): main-content extraction
+    # (operators.content — jusText-family block density) over EVERY
+    # html page of the webgen corpus, vs the independent pure-Python
+    # twin (refsem.content). value = kept|blocks|md5(main_text), so the
+    # segmentation count, the keep decisions AND the exact reassembled
+    # bytes all sit under the hash.
+    from .operators import content as CNT
+
+    cp = list(dict(_content_pages()).items())
+    cdf = spark.createDataFrame(cp, "page_url string, html string")
+    content = CNT.main_content(cdf).select(
+        F.lit("content").alias("kind"),
+        "page_url",
+        F.concat_ws(
+            "|",
+            F.col("n_kept").cast("string"),
+            F.col("n_blocks").cast("string"),
+            F.md5("main_text"),
+        ).alias("value"),
+    )
+    return x9.unionByName(h8).unionByName(content)
 
 
 def q_h_categories(spark, sf_dir) -> DataFrame:
@@ -513,6 +549,8 @@ SELECT 'regex' AS kind, page_url, ord, email FROM {rp('regex_emails')}
 SELECT 'x9' AS kind, page_url, encoding AS value FROM {rp('encoding')}
 UNION ALL
 SELECT 'h8' AS kind, page_url, CAST(page_count AS VARCHAR) AS value FROM {rp('pagenum')}
+UNION ALL
+SELECT 'content' AS kind, page_url, value FROM {rp('maintext')}
 """,
         "h_categories": f"""
 SELECT layout, category_id, name, parent_id, href, city_code FROM {rp('categories')}
