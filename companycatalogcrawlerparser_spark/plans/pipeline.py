@@ -131,7 +131,15 @@ def curate_training_corpus(
     ``jaccard_verify``'s localCheckpoint of the candidate pairs and
     ``pack_shards``'s partition-id freeze (×2: order index + packing;
     +1 when the optional domain-cap stage is enabled, for its hot-domain
-    rank). Everything else stays lazy until the caller acts.
+    rank). Each enabled multi-consumer optional stage (perplexity gate,
+    ExactSubstr, DSIR) adds one more eager pin of the survivor frame —
+    those stages read their input in 2-4 plan branches, and without the
+    pin every branch re-derives the whole upstream dedup chain
+    (measured on the 250k-doc pipeline_surface XL task — see
+    BENCH/BASELINE.md). Everything else stays lazy until the caller
+    acts. The pins are localCheckpoints: non-replicated, so on a
+    preemptible fleet prefer a reliable checkpoint dir (the
+    pack_shards caveat applies here too).
 
     Pass ``observations={"minhash": Observation(), "winnow":
     Observation()}`` to receive the dedup skip/cap metrics in the same
@@ -192,6 +200,10 @@ def curate_training_corpus(
             raise ValueError(
                 "lm_ref requires lm_head_max and lm_tail_min cutoffs"
             )
+        # pin the survivor frame: lm_logprob consumes it in two plan
+        # branches (bigram scoring + the decorating join) — without the
+        # checkpoint each branch re-derives the whole dedup chain
+        survivors = survivors.localCheckpoint(eager=True)
         model = LM.train_bigram_lm(lm_ref, id_col=idc, text_col=txc)
         survivors = (
             LM.lm_logprob(survivors, model, id_col=idc, text_col=txc)
@@ -227,6 +239,12 @@ def curate_training_corpus(
     # budgets must see post-removal lengths; the text column becomes the
     # operator's normalized token form.
     if cfg.exactsubstr:
+        # pin before span removal: duplicate_spans + mark-back +
+        # excision read the input in FOUR plan branches; at 250k docs
+        # the unpinned lineage re-ran the quality gate + dedup joins
+        # per branch (measured: the pipeline_surface XL task ran 7×
+        # pipeline_full's per-doc cost before this checkpoint)
+        survivors = survivors.localCheckpoint(eager=True)
         survivors = D.remove_duplicate_spans(
             survivors,
             n=cfg.exactsubstr_window,
@@ -268,6 +286,9 @@ def curate_training_corpus(
     # sampling so language caps apply to the resampled mix. The kept
     # frame carries dsir_score through to the shards.
     if dsir_target is not None and cfg.dsir_k is not None:
+        # pin before resampling: the survivor frame feeds the raw
+        # model, the scoring pass AND the select — three consumers
+        survivors = survivors.localCheckpoint(eager=True)
         ratios = DSIR.dsir_log_ratios(
             dsir_target, survivors, n=cfg.dsir_n,
             num_buckets=cfg.dsir_buckets, id_col=idc, text_col=txc,
