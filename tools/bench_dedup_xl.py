@@ -180,6 +180,7 @@ def _task_action(spark, task: str, data_dir: str):
     elif task in ("minhash_lsh_pairs", "winnow_jaccard", "simhash_groups",
                   "exact_dedup", "exactsubstr", "linededup", "dsir",
                   "text_metrics", "lm_ppl", "bpe_encode",
+                  "bpe_encode_only",
                   "control_tokenhash", "pipeline_surface", "seqpack",
                   "dedup_pipeline", "pipeline_full", "stream_dedup",
                   "connected_components", "pagerank", "curation",
@@ -699,6 +700,54 @@ def _task_action(spark, task: str, data_dir: str):
             return {"rows_out": int(got[0]), "logp_checksum": int(got[1]),
                     "n_terms": int(got[2]), "n_head": int(got[3]),
                     "n_tail": int(got[4])}
+    elif task == "bpe_encode_only":
+        # the CORPUS-SCALED half alone: merges learned once in setup
+        # (untimed — training is size-gated driver work whose cost is
+        # fixed per tokenizer version, amortized over any corpus size);
+        # the timed run is encode_corpus end-to-end. Same zipf remap
+        # and checksums as bpe_encode.
+        from companycatalogcrawlerparser_spark.operators import bpe as B
+
+        nm = int(os.environ.get("BPE_MERGES", "200"))
+        toksb = F.split("text", " ")
+        widx = F.transform(
+            toksb,
+            lambda t: F.floor(
+                F.pow(
+                    F.pmod(F.xxhash64(t), F.lit(10000)) / 10000.0, 3.0
+                ) * 50000
+            ).cast("long"),
+        )
+        btext = F.concat_ws(
+            " ",
+            F.transform(
+                widx,
+                lambda ix: F.concat(
+                    F.lit("w"), F.conv(ix.cast("string"), 10, 36)
+                ),
+            ),
+        )
+        bdocs = docs.select("doc_id", btext.alias("text")).persist()
+        n_in = bdocs.count()
+        merges_pre = B.learn_bpe(
+            B.word_counts(bdocs), num_merges=nm, max_vocab_rows=500_000
+        )
+
+        def run():
+            enc = B.encode_corpus(bdocs, merges_pre)
+            m = enc.select(
+                "n_bpe_tokens",
+                F.pmod(
+                    F.conv(F.substring("bpe_fp", 1, 15), 16, 10)
+                    .cast("long"),
+                    F.lit(1_000_000_007),
+                ).alias("fp_i"),
+            )
+            got = m.agg(
+                F.count("*"), F.sum("n_bpe_tokens"), F.sum("fp_i")
+            ).first()
+            return {"rows_out": int(got[0]), "n_subwords": int(got[1]),
+                    "fp_checksum": int(got[2]), "n_merges": nm}
     elif task == "bpe_encode":
         # BPE train + encode at corpus scale (operators.bpe). The stock
         # XL corpus has a near-uniform random vocabulary (~33M distinct
