@@ -185,7 +185,8 @@ FOLDED_KINDS = {
     "ann_lsh": ["lsh", "ivf", "ivf_arrow", "semdup"],
     "events_windows": ["window", "audit"],
     "warc_ingest": ["whole", "ranged", "indexed"],
-    "corpus_curation": ["sample", "pack", "order", "cap", "chunk", "packseq"],
+    "corpus_curation": ["sample", "pack", "order", "cap", "chunk", "packseq",
+                        "bpe_merge", "bpe_word", "bpe_doc"],
     "dedup_groups": ["exact", "simhash", "spans", "excised", "lines",
                      "incr"],
     "minhash": ["sig", "pairs"],
