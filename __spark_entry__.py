@@ -861,6 +861,20 @@ def q_corpus_curation(spark, sf_dir):
         .cast("long")
         .alias("val"),
     )
+    # kind='quant' (r7-late): EXACT distributed quantiles
+    # (curation.exact_quantiles — the frozen-cutoff derivation path,
+    # e.g. lm_cutoffs) over the integer token counts at four fracs;
+    # doc_id = the 1-based rank k, val = the value AT that rank —
+    # integer-exact end to end, vs the naive global row_number twin the
+    # prefix-sum construction exists to avoid
+    quant = CU.exact_quantiles(
+        toks.select("n_tok"), "n_tok", [0.25, 0.5, 0.75, 0.9]
+    ).select(
+        F.lit("quant").alias("kind"),
+        F.col("k").alias("doc_id"),
+        F.format_string("%.2f", F.col("frac")).alias("grp"),
+        F.col("value").cast("long").alias("val"),
+    )
     # kinds 'bpe_merge'/'bpe_word'/'bpe_doc' (r7-late): BPE tokenizer
     # training + corpus encoding (operators.bpe) over the deterministic
     # sf-independent fixture corpus, vs the recount-from-scratch pure-
@@ -878,6 +892,7 @@ def q_corpus_curation(spark, sf_dir):
         .unionByName(chunk)
         .unionByName(pseq_b)
         .unionByName(pseq_t)
+        .unionByName(quant)
         .unionByName(bpe)
     )
 
@@ -1837,6 +1852,19 @@ UNION ALL
 SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM pseq_b
 UNION ALL
 SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM pseq_t
+UNION ALL
+SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM (
+  WITH qrk AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+                      count(*) OVER () AS n
+               FROM (SELECT CAST({token_count_sql} AS BIGINT) AS v
+                     FROM documents)),
+  qf AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS frac)
+  SELECT 'quant' AS kind,
+         least(greatest(CAST(ceil(frac * n) AS BIGINT), 1), n) AS doc_id,
+         printf('%.2f', CAST(frac AS DOUBLE)) AS grp, v AS val
+  FROM qf JOIN qrk
+    ON qrk.rn = least(greatest(CAST(ceil(qf.frac * qrk.n) AS BIGINT), 1),
+                      qrk.n))
 {_H.bpe_oracle_union_sql()}
 """,
         # one-shot twin of the STREAMING dedup row: identical signatures,

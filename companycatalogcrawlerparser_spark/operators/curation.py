@@ -43,6 +43,7 @@ __all__ = [
     "cap_per_domain",
     "split_sequences",
     "concat_packed_sequences",
+    "exact_quantiles",
 ]
 
 
@@ -275,6 +276,78 @@ def cap_per_domain(
     )
     cols = df.columns + ["domain_rank"]
     return under.select(*cols).unionByName(kept.select(*cols))
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    fracs: list,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT distributed quantiles — (frac, k, value) where ``value``
+    is the element at 1-based global ascending rank
+    k = clamp(⌈frac·n⌉, 1, n). The curation use: deriving the frozen
+    per-language CCNet perplexity cutoffs (:func:`..lm.lm_cutoffs`)
+    or token-length percentile gates from a reference corpus — jobs
+    where ``approx_percentile`` won't do, because its Greenwald-Khanna
+    merge is partition-order-sensitive and the whole point of a frozen
+    cutoff is that every cluster derives the SAME number.
+
+    Plan shape (the pack_shards prefix-sum construction, generalized to
+    ranks): one range shuffle on the value, per-partition ranks via an
+    in-partition window, per-partition counts (#partitions rows) prefix-
+    summed through the single tiny global window, offsets broadcast
+    back, then a broadcast semi-probe of the len(fracs) target ranks.
+    No global sort materializes and no single task sees more than its
+    partition. Ties are safe by construction: equal values occupy a
+    contiguous rank block (the range partitioner never splits equal
+    keys), so the value at rank k is well-defined however the window
+    breaks the tie. Requires non-null ``value_col``; output is
+    partition-count-invariant.
+    """
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    d = (
+        df.select(F.col(value_col).alias("__v"))
+        .repartitionByRange(n_part, F.col("__v"))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # freeze __pid as data — same AQE read-side divergence as
+    # pack_shards (see the note there)
+    d = d.localCheckpoint(eager=True)
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = d.withColumn("__r", F.count(F.lit(1)).over(w_in))
+    counts = ranked.groupBy("__pid").agg(F.max("__r").alias("__t"))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off"),
+    )
+    ks = (
+        spark.createDataFrame([(float(f),) for f in fracs], "frac double")
+        .crossJoin(F.broadcast(counts.agg(F.sum("__t").alias("__n"))))
+        .select(
+            "frac",
+            F.least(
+                F.greatest(
+                    F.ceil(F.col("frac") * F.col("__n")), F.lit(1)
+                ),
+                F.col("__n"),
+            ).cast("long").alias("k"),
+        )
+    )
+    g = ranked.join(F.broadcast(offs), "__pid").withColumn(
+        "__gr", F.col("__off") + F.col("__r")
+    )
+    return g.join(F.broadcast(ks), g["__gr"] == ks["k"]).select(
+        "frac", "k", F.col("__v").alias("value")
+    )
 
 
 def shuffle_order_key(key: Column, salt: str = "") -> Column:

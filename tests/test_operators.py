@@ -2280,6 +2280,82 @@ class TestCuration:
             assert (got[1], got[2]) == (sum(toks), 50_000)
 
 
+class TestExactQuantiles:
+    """curation.exact_quantiles: distributed rank-k selection vs sorted
+    Python, partition-count-invariant, ties/clamp behaviour."""
+
+    def test_matches_sorted_python_and_partitionings(self, spark):
+        import hashlib
+
+        from companycatalogcrawlerparser_spark.operators import (
+            curation as CU,
+        )
+
+        vals = [
+            int(hashlib.md5(f"q{i}".encode()).hexdigest()[:4], 16) % 500
+            for i in range(997)
+        ]
+        fracs = [0.1, 0.25, 0.5, 0.9, 1.0]
+        s = sorted(vals)
+        import math
+
+        want = {
+            f: s[min(max(math.ceil(f * len(s)), 1), len(s)) - 1]
+            for f in fracs
+        }
+        for nparts in (3, 8):
+            df = spark.createDataFrame(
+                [(v,) for v in vals], "v long"
+            ).repartition(nparts)
+            got = {
+                r["frac"]: r["value"]
+                for r in CU.exact_quantiles(
+                    df, "v", fracs, num_partitions=nparts
+                ).collect()
+            }
+            assert got == want, nparts
+
+    def test_tiny_and_all_ties(self, spark):
+        from companycatalogcrawlerparser_spark.operators import (
+            curation as CU,
+        )
+
+        # n=1: every frac clamps to rank 1
+        one = spark.createDataFrame([(42,)], "v long")
+        got = CU.exact_quantiles(one, "v", [0.0, 0.5, 1.0]).collect()
+        assert [(r["k"], r["value"]) for r in got] == [(1, 42)] * 3
+        # all-equal values: any rank returns the value
+        same = spark.createDataFrame([(7,)] * 100, "v long")
+        got2 = CU.exact_quantiles(same, "v", [0.33, 0.77]).collect()
+        assert all(r["value"] == 7 for r in got2)
+
+    def test_lm_cutoffs_roundtrip(self, spark):
+        from companycatalogcrawlerparser_spark.operators import lm as LM
+
+        ref = spark.createDataFrame(
+            [(0, "a b"), (1, "a b"), (2, "a c")],
+            "doc_id long, text string",
+        )
+        model = LM.train_bigram_lm(ref)
+        scored = LM.lm_logprob(
+            spark.createDataFrame(
+                [(i, t) for i, t in enumerate(
+                    ["a b", "a b", "a z", "z q", ""]
+                )],
+                "doc_id long, text string",
+            ),
+            model,
+        )
+        cuts = {
+            round(r["frac"], 2): r["value"]
+            for r in LM.lm_cutoffs(scored).collect()
+        }
+        # 4 scoreable docs (empty excluded); per-token −logp ascending:
+        # 0.703, 0.703, 1.253, 1.666 → ⌈4/3⌉=2nd and ⌈8/3⌉=3rd
+        assert cuts[0.33] == pytest.approx(0.703457, abs=1e-5)
+        assert cuts[0.67] == pytest.approx(1.252763, abs=1e-5)
+
+
 class TestSplitSequences:
     """curation.split_sequences: trainer context-window chunking vs a
     pure-Python reference."""
