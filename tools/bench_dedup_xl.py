@@ -180,7 +180,7 @@ def _task_action(spark, task: str, data_dir: str):
     elif task in ("minhash_lsh_pairs", "winnow_jaccard", "simhash_groups",
                   "exact_dedup", "exactsubstr", "linededup", "dsir",
                   "text_metrics", "lm_ppl", "bpe_encode",
-                  "bpe_encode_only",
+                  "bpe_encode_only", "quantiles",
                   "control_tokenhash", "pipeline_surface", "seqpack",
                   "dedup_pipeline", "pipeline_full", "stream_dedup",
                   "connected_components", "pagerank", "curation",
@@ -667,6 +667,35 @@ def _task_action(spark, task: str, data_dir: str):
             return {"rows_out": int(got[0]),
                     "score_checksum": int(got[1]),
                     "selected_id_checksum": int(got[2])}
+    elif task == "quantiles":
+        # exact distributed quantiles at corpus scale: value = a
+        # synthetic long-tailed per-doc metric (xxhash64-derived, so
+        # ranks are non-trivial), five fracs incl. the 0.99 tail.
+        # Integer-exact checksum over (rank, value) pairs.
+        from companycatalogcrawlerparser_spark.operators import (
+            curation as CUR,
+        )
+
+        qdocs = docs.select(
+            (F.pmod(F.xxhash64("text"), F.lit(100000)) ** 2 / F.lit(1000))
+            .cast("long").alias("v")
+        ).persist()
+        n_in = qdocs.count()
+
+        def run():
+            out = CUR.exact_quantiles(
+                qdocs, "v", [0.25, 0.5, 0.75, 0.9, 0.99]
+            )
+            got = out.agg(
+                F.count("*"),
+                F.sum(
+                    F.pmod(
+                        F.col("k") * F.lit(31) + F.col("value"),
+                        F.lit(1_000_000_007),
+                    )
+                ),
+            ).first()
+            return {"rows_out": int(got[0]), "rank_value_checksum": int(got[1])}
     elif task == "lm_ppl":
         # CCNet perplexity at corpus scale (operators.lm): reference =
         # the 1/1000 doc slice (the MBs-model-vs-TBs-corpus ratio the
