@@ -75,6 +75,10 @@ class CurationConfig:
     lm_head_max: Optional[float] = None
     lm_tail_min: Optional[float] = None
     lm_keep: tuple = ("head", "middle")
+    # per-language cutoff map {lang: (head_max, tail_min)} — CCNet
+    # freezes cutoffs per language; languages absent from the map fall
+    # back to the scalar cutoffs (or 'middle' when those are unset)
+    lm_cutoffs_by_lang: Optional[dict] = None
     # stage 3 — decontamination (skipped when benchmark is None)
     contam_k: int = 8
     contam_threshold: float = 0.5
@@ -196,25 +200,61 @@ def curate_training_corpus(
     # The model is reference-sized and broadcast; scoring adds one
     # corpus explode + one groupBy(id), no new corpus-wide join keys.
     if lm_ref is not None:
-        if cfg.lm_head_max is None or cfg.lm_tail_min is None:
+        by_lang = cfg.lm_cutoffs_by_lang
+        if by_lang is None and (
+            cfg.lm_head_max is None or cfg.lm_tail_min is None
+        ):
             raise ValueError(
-                "lm_ref requires lm_head_max and lm_tail_min cutoffs"
+                "lm_ref requires lm_head_max and lm_tail_min cutoffs "
+                "(or lm_cutoffs_by_lang)"
             )
         # pin the survivor frame: lm_logprob consumes it in two plan
         # branches (bigram scoring + the decorating join) — without the
         # checkpoint each branch re-derives the whole dedup chain
         survivors = survivors.localCheckpoint(eager=True)
         model = LM.train_bigram_lm(lm_ref, id_col=idc, text_col=txc)
-        survivors = (
-            LM.lm_logprob(survivors, model, id_col=idc, text_col=txc)
-            .withColumn(
+        scored = LM.lm_logprob(survivors, model, id_col=idc, text_col=txc)
+        if by_lang is not None:
+            # CCNet proper freezes cutoffs PER LANGUAGE (derive each
+            # with lm.lm_cutoffs over that language's reference run);
+            # the map rides as a broadcast (lang, head, tail) frame —
+            # languages absent from the map fall back to the scalar
+            # cutoffs, or are kept untouched when none are set
+            cuts = survivors.sparkSession.createDataFrame(
+                [(str(k), float(h), float(t))
+                 for k, (h, t) in sorted(by_lang.items())],
+                "lang string, __head double, __tail double",
+            )
+            scored = scored.join(F.broadcast(cuts), "lang", "left")
+            head = F.coalesce(
+                F.col("__head"),
+                F.lit(cfg.lm_head_max).cast("double"),
+            )
+            tail = F.coalesce(
+                F.col("__tail"),
+                F.lit(cfg.lm_tail_min).cast("double"),
+            )
+            nl = -F.col("lm_logp") / F.col("n_lm_terms")
+            bucket = (
+                F.when(F.col("n_lm_terms") == 0, F.lit("tail"))
+                .when(head.isNull() | tail.isNull(), F.lit("middle"))
+                .when(nl <= head, F.lit("head"))
+                .when(nl > tail, F.lit("tail"))
+                .otherwise(F.lit("middle"))
+            )
+            scored = scored.withColumn("__pb", bucket).drop(
+                "__head", "__tail"
+            )
+        else:
+            scored = scored.withColumn(
                 "__pb",
                 LM.ppl_bucket(
                     "lm_logp", "n_lm_terms",
                     cfg.lm_head_max, cfg.lm_tail_min,
                 ),
             )
-            .filter(F.col("__pb").isin(list(cfg.lm_keep)))
+        survivors = (
+            scored.filter(F.col("__pb").isin(list(cfg.lm_keep)))
             .drop("lm_logp", "n_lm_terms", "ppl", "__pb")
         )
 

@@ -264,6 +264,24 @@ class TestCuratePipeline:
         assert not {"lm_logp", "n_lm_terms", "ppl", "__pb"} & set(
             out.columns
         )
+        # per-language map (CCNet proper): 'en' covers the whole
+        # fixture → same result as the scalar cutoffs
+        cfg3 = dataclasses.replace(
+            CFG, lm_cutoffs_by_lang={"en": (4.9, 5.3)}, lm_keep=("head",)
+        )
+        kept3 = {
+            r["doc_id"]
+            for r in curate_training_corpus(docs, None, cfg3, lm_ref=ref)
+            .select("doc_id").collect()
+        }
+        assert kept3 == set(range(10))
+        # a map that names NO present language and no scalar fallback →
+        # every doc buckets 'middle' (kept by the default lm_keep)
+        cfg4 = dataclasses.replace(
+            CFG, lm_cutoffs_by_lang={"ru": (1.0, 2.0)}
+        )
+        n4 = curate_training_corpus(docs, None, cfg4, lm_ref=ref).count()
+        assert n4 == curate_training_corpus(docs, None, CFG).count()
         # cutoffs are mandatory when the stage is enabled
         with pytest.raises(ValueError, match="lm_head_max"):
             curate_training_corpus(docs, None, CFG, lm_ref=ref)
