@@ -247,15 +247,21 @@ def oracle_dir() -> str:
 
     from .refsem import content as RCNT
 
-    mt = []
+    mt, md = [], []
     for u, h in dict(_content_pages()).items():
         text, n_blocks, n_kept = RCNT.main_content(h)
         mt.append(
             (u, f"{n_kept}|{n_blocks}|"
                 f"{_hl.md5(text.encode('utf-8')).hexdigest()}")
         )
+        md.append(
+            (u, _hl.md5(RCNT.to_markdown(h).encode("utf-8")).hexdigest())
+        )
     _write(d, "maintext", {
         "page_url": [u for u, _ in mt], "value": [v for _, v in mt],
+    })
+    _write(d, "markdown", {
+        "page_url": [u for u, _ in md], "value": [v for _, v in md],
     })
 
     _memo["oracle_dir"] = d
@@ -417,7 +423,14 @@ def q_x9_h8_probe(spark, sf_dir) -> DataFrame:
             F.md5("main_text"),
         ).alias("value"),
     )
-    return x9.unionByName(h8).unionByName(content)
+    # kind='md' (r7-late): html→markdown (operators.content.to_markdown
+    # vs the stdlib twin) over the same pages — exact output bytes
+    md = cdf.select(
+        F.lit("md").alias("kind"),
+        "page_url",
+        F.md5(CNT.to_markdown(F.col("html"))).alias("value"),
+    )
+    return x9.unionByName(h8).unionByName(content).unionByName(md)
 
 
 def q_h_categories(spark, sf_dir) -> DataFrame:
@@ -551,6 +564,8 @@ UNION ALL
 SELECT 'h8' AS kind, page_url, CAST(page_count AS VARCHAR) AS value FROM {rp('pagenum')}
 UNION ALL
 SELECT 'content' AS kind, page_url, value FROM {rp('maintext')}
+UNION ALL
+SELECT 'md' AS kind, page_url, value FROM {rp('markdown')}
 """,
         "h_categories": f"""
 SELECT layout, category_id, name, parent_id, href, city_code FROM {rp('categories')}

@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["main_content", "BLOCK_TAGS"]
+__all__ = ["main_content", "to_markdown", "BLOCK_TAGS"]
 
 BLOCK_TAGS = (
     "p|div|h[1-6]|li|ul|ol|table|thead|tbody|tr|td|th|section|article"
@@ -61,6 +61,55 @@ def _text_of(fragment) -> Column:
     """Tag-stripped, ASCII-whitespace-collapsed, trimmed text."""
     t = F.regexp_replace(fragment, r"<[^>]*>", " ")
     return F.trim(F.regexp_replace(t, _WS, " "))
+
+
+# html→markdown rule list, applied IN ORDER before the generic tag
+# strip. Pattern syntax is the Java∩Python-re common dialect; the twin
+# (refsem.content.to_markdown) runs the same list with re.sub. Only
+# double-quoted hrefs become links — anything else degrades to plain
+# text via the tag strip, which is the right failure mode for a
+# training corpus.
+MD_RULES = (
+    (r'(?is)<a\b[^>]*?href="([^"]*)"[^>]*>(.*?)</a>', "[{2}]({1})"),
+    (r"(?i)<h1\b[^>]*>", "\n# "), (r"(?i)<h2\b[^>]*>", "\n## "),
+    (r"(?i)<h3\b[^>]*>", "\n### "), (r"(?i)<h4\b[^>]*>", "\n#### "),
+    (r"(?i)<h5\b[^>]*>", "\n##### "), (r"(?i)<h6\b[^>]*>", "\n###### "),
+    (r"(?i)</h[1-6]>", "\n"),
+    (r"(?i)<li\b[^>]*>", "\n- "),
+    (r"(?i)</?(?:p|div|section|article|blockquote|tr|table|ul|ol)\b[^>]*>",
+     "\n"),
+    (r"(?i)<br\b[^>]*/?>", "\n"),
+    (r"(?i)</?(?:b|strong)\b[^>]*>", "**"),
+    (r"(?i)</?(?:i|em)\b[^>]*>", "*"),
+)
+
+
+def to_markdown(html) -> Column:
+    """A ``markdown`` COLUMN expression over an html column (call
+    inside ``pages.select``) —
+    lightweight html→markdown for training corpora: links to
+    ``[text](href)``, h1-6 to ``#`` headings, ``<li>`` to ``- `` items,
+    block tags to line breaks, b/strong/i/em to ``**``/``*``, then the
+    generic tag strip and whitespace normalization (horizontal runs →
+    one space, ≥3 newlines → 2, space-led lines trimmed). Pure codegen
+    regexp chain — same scale shape as :func:`main_content` minus the
+    shuffle (no per-page regrouping needed).
+
+    Pinned-subset semantics (shared with the twin): markup the rules
+    don't cover degrades to plain text, never to dropped content."""
+    h = _sanitized(html)
+    for pat, rep in MD_RULES:
+        h = F.regexp_replace(
+            h, pat, rep.replace("{1}", "$1").replace("{2}", "$2")
+        )
+    h = F.regexp_replace(h, r"<[^>]*>", " ")
+    h = F.regexp_replace(h, r"[ \t\f]+", " ")
+    h = F.regexp_replace(h, r"\n ", "\n")
+    h = F.regexp_replace(h, r" \n", "\n")
+    h = F.regexp_replace(h, r"\n{3,}", "\n\n")
+    # F.trim strips SPACES only (not \n) — anchor-trim the full
+    # ASCII-whitespace class explicitly, twin-identical
+    return F.regexp_replace(h, r"^[ \t\n\r\f]+|[ \t\n\r\f]+$", "")
 
 
 def main_content(

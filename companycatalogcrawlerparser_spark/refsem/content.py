@@ -28,6 +28,36 @@ def _text_of(fragment: str) -> str:
     return _WS.sub(" ", _TAG.sub(" ", fragment)).strip()
 
 
+MD_RULES = (
+    (r'(?is)<a\b[^>]*?href="([^"]*)"[^>]*>(.*?)</a>', r"[\2](\1)"),
+    (r"(?i)<h1\b[^>]*>", "\n# "), (r"(?i)<h2\b[^>]*>", "\n## "),
+    (r"(?i)<h3\b[^>]*>", "\n### "), (r"(?i)<h4\b[^>]*>", "\n#### "),
+    (r"(?i)<h5\b[^>]*>", "\n##### "), (r"(?i)<h6\b[^>]*>", "\n###### "),
+    (r"(?i)</h[1-6]>", "\n"),
+    (r"(?i)<li\b[^>]*>", "\n- "),
+    (r"(?i)</?(?:p|div|section|article|blockquote|tr|table|ul|ol)\b[^>]*>",
+     "\n"),
+    (r"(?i)<br\b[^>]*/?>", "\n"),
+    (r"(?i)</?(?:b|strong)\b[^>]*>", "**"),
+    (r"(?i)</?(?:i|em)\b[^>]*>", "*"),
+)
+
+
+def to_markdown(html: str | None) -> str:
+    """Twin of operators.content.to_markdown — same ordered rule list,
+    same generic strip + whitespace normalization."""
+    h = html or ""
+    h = _STYLE.sub(" ", _SCRIPT.sub(" ", _COMMENT.sub(" ", h)))
+    for pat, rep in MD_RULES:
+        h = re.sub(pat, rep, h)
+    h = _TAG.sub(" ", h)
+    h = re.sub(r"[ \t\f]+", " ", h)
+    h = re.sub(r"\n ", "\n", h)
+    h = re.sub(r" \n", "\n", h)
+    h = re.sub(r"\n{3,}", "\n\n", h)
+    return re.sub(r"^[ \t\n\r\f]+|[ \t\n\r\f]+$", "", h)
+
+
 def main_content(
     html: str | None,
     min_chars: int = 25,

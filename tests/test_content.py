@@ -98,6 +98,44 @@ class TestMainContent:
         for i, h in enumerate(cases):
             assert got[str(i)] == RC.main_content(h), f"case {i}"
 
+    def test_to_markdown_structure(self, spark):
+        html = (
+            "<h1>Title</h1><p>Intro <b>bold</b> and <em>italic</em>.</p>"
+            '<ul><li>one</li><li><a href="/x">two</a></li></ul>'
+            "<h3>Sub</h3><script>nope()</script>"
+        )
+        df = spark.createDataFrame(
+            [("u", html)], "page_url string, html string"
+        )
+        got = df.select(
+            C.to_markdown(F.col("html")).alias("m")
+        ).collect()[0]["m"]
+        assert got == RC.to_markdown(html)
+        assert got.startswith("# Title")
+        assert "**bold**" in got and "*italic*" in got
+        assert "\n- one" in got and "- [two](/x)" in got
+        assert "### Sub" in got and "nope" not in got
+
+    def test_to_markdown_twin_on_corpus_edge_cases(self, spark):
+        cases = [
+            "",
+            "<a href=unquoted>x</a> plain",   # non-double-quoted href
+            "<p>a</p>\n\n\n\n<p>b</p>",       # newline collapse
+            "<H2>UP</H2><LI>caps</LI>",       # case-insensitive tags
+        ]
+        df = spark.createDataFrame(
+            [(str(i), h) for i, h in enumerate(cases)],
+            "page_url string, html string",
+        )
+        got = {
+            r["page_url"]: r["m"]
+            for r in df.select(
+                "page_url", C.to_markdown(F.col("html")).alias("m")
+            ).collect()
+        }
+        for i, h in enumerate(cases):
+            assert got[str(i)] == RC.to_markdown(h), f"case {i}"
+
     def test_plan_is_codegen_only(self, spark):
         df = spark.createDataFrame(
             [("u", HTML)] * 4, "page_url string, html string"
