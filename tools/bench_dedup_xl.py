@@ -180,7 +180,7 @@ def _task_action(spark, task: str, data_dir: str):
     elif task in ("minhash_lsh_pairs", "winnow_jaccard", "simhash_groups",
                   "exact_dedup", "exactsubstr", "linededup", "dsir",
                   "text_metrics", "lm_ppl", "bpe_encode",
-                  "bpe_encode_only", "quantiles",
+                  "bpe_encode_only", "quantiles", "content_extract",
                   "control_tokenhash", "pipeline_surface", "seqpack",
                   "dedup_pipeline", "pipeline_full", "stream_dedup",
                   "connected_components", "pagerank", "curation",
@@ -667,6 +667,51 @@ def _task_action(spark, task: str, data_dir: str):
             return {"rows_out": int(got[0]),
                     "score_checksum": int(got[1]),
                     "selected_id_checksum": int(got[2])}
+    elif task == "content_extract":
+        # main-content + markdown extraction at page scale: a webgen
+        # html corpus (~3 KiB/page with filler + noise links) generated
+        # once under data_dir, then both extractors timed over every
+        # page. Embarrassingly parallel regex chains — the shape that
+        # should scale like the per-row-scan families. Checksums over
+        # exact output bytes + kept/block counts.
+        from companycatalogcrawlerparser_spark.operators import (
+            content as CNT,
+        )
+        from companycatalogcrawlerparser_spark.sources import webgen
+
+        n_co = int(os.environ.get("CONTENT_COMPANIES", "40000"))
+        path = f"{data_dir}/pages_html_{n_co}"
+        if not os.path.exists(path):
+            pages_df, _ = webgen.build_corpus_spark(
+                spark, n_co, num_partitions=64, filler_kb=2
+            )
+            (
+                pages_df.filter(F.col("html").isNotNull())
+                .select(
+                    F.col("url").alias("page_url"),
+                    F.col("html").cast("string").alias("html"),
+                )
+                .write.mode("overwrite").parquet(path)
+            )
+        hp = spark.read.parquet(path).persist()
+        n_in = hp.count()
+
+        def run():
+            mc = CNT.main_content(hp)
+            got = mc.agg(
+                F.count("*"), F.sum("n_blocks"), F.sum("n_kept"),
+                F.sum(F.pmod(F.xxhash64("main_text"), F.lit(10**9))),
+            ).first()
+            md = hp.select(
+                F.pmod(
+                    F.xxhash64(CNT.to_markdown(F.col("html"))),
+                    F.lit(10**9),
+                ).alias("mh")
+            )
+            got2 = md.agg(F.sum("mh")).first()
+            return {"rows_out": int(got[0]), "blocks": int(got[1]),
+                    "kept": int(got[2]), "text_checksum": int(got[3]),
+                    "md_checksum": int(got2[0])}
     elif task == "quantiles":
         # exact distributed quantiles at corpus scale: value = a
         # synthetic long-tailed per-doc metric (xxhash64-derived, so
