@@ -861,6 +861,31 @@ def q_corpus_curation(spark, sf_dir):
         .cast("long")
         .alias("val"),
     )
+    # kind='mask' (r7-late): T5 span corruption
+    # (curation.span_corruption, stride-aligned blocks, md5 gate) over
+    # the bounded corpus — grp='in'/'tg' pin the exact corrupted input
+    # and target BYTES (sentinel numbering included), grp='n' the
+    # masked-token count integer-exactly
+    _m5 = lambda c: (  # noqa: E731 — md5-int15, the chunk-kind idiom
+        F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    )
+    msk = CU.span_corruption(d.filter(F.col("doc_id") < 500))
+    mask = (
+        msk.select(
+            F.lit("mask").alias("kind"), "doc_id",
+            F.lit("in").alias("grp"), _m5(F.col("input_text")).alias("val"),
+        )
+        .unionByName(msk.select(
+            F.lit("mask").alias("kind"), "doc_id",
+            F.lit("tg").alias("grp"),
+            _m5(F.col("target_text")).alias("val"),
+        ))
+        .unionByName(msk.select(
+            F.lit("mask").alias("kind"), "doc_id",
+            F.lit("n").alias("grp"),
+            F.col("n_masked_tokens").alias("val"),
+        ))
+    )
     # kind='quant' (r7-late): EXACT distributed quantiles
     # (curation.exact_quantiles — the frozen-cutoff derivation path,
     # e.g. lm_cutoffs) over the integer token counts at four fracs;
@@ -892,6 +917,7 @@ def q_corpus_curation(spark, sf_dir):
         .unionByName(chunk)
         .unionByName(pseq_b)
         .unionByName(pseq_t)
+        .unionByName(mask)
         .unionByName(quant)
         .unionByName(bpe)
     )
@@ -1852,6 +1878,58 @@ UNION ALL
 SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM pseq_b
 UNION ALL
 SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM pseq_t
+UNION ALL
+SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM (
+  WITH mtk AS (SELECT doc_id,
+                      regexp_split_to_array(trim(coalesce(text, '')),
+                                            '\\s+') AS t
+               FROM documents WHERE doc_id < 500),
+  mocc AS (SELECT doc_id, u.i - 1 AS pos, t[u.i] AS tok,
+                  (u.i - 1) // 3 AS blk
+           FROM mtk, UNNEST(generate_series(1, len(t))) AS u(i)
+           WHERE t[u.i] <> ''),
+  mhit AS (SELECT DISTINCT doc_id, blk FROM mocc
+           WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                        || '|' || CAST(blk AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 10000) < 1500),
+  mk AS (SELECT doc_id, blk,
+                row_number() OVER (PARTITION BY doc_id ORDER BY blk) AS k
+         FROM mhit),
+  mj AS (SELECT o.doc_id, o.pos, o.tok, mk.k,
+                CASE WHEN mk.k IS NOT NULL AND o.pos % 3 = 0
+                     THEN '<extra_id_' || CAST(mk.k - 1 AS VARCHAR) || '>'
+                END AS sent
+         FROM mocc o
+         LEFT JOIN mk ON o.doc_id = mk.doc_id AND o.blk = mk.blk),
+  mi AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS txt
+         FROM (SELECT doc_id, pos,
+                      CASE WHEN k IS NULL THEN tok ELSE sent END AS piece
+               FROM mj)
+         WHERE piece IS NOT NULL GROUP BY doc_id),
+  mt AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS txt
+         FROM (SELECT doc_id, pos,
+                      CASE WHEN k IS NOT NULL
+                           THEN CASE WHEN sent IS NOT NULL
+                                     THEN sent || ' ' || tok
+                                     ELSE tok END
+                      END AS piece
+               FROM mj)
+         WHERE piece IS NOT NULL GROUP BY doc_id),
+  mn AS (SELECT doc_id,
+                sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS n
+         FROM mj GROUP BY doc_id),
+  md_ AS (SELECT doc_id FROM documents WHERE doc_id < 500)
+  SELECT 'mask' AS kind, md_.doc_id, 'in' AS grp,
+         CAST(('0x' || substr(md5(coalesce(mi.txt, '')), 1, 15)) AS BIGINT)
+           AS val
+  FROM md_ LEFT JOIN mi USING (doc_id)
+  UNION ALL
+  SELECT 'mask', md_.doc_id, 'tg',
+         CAST(('0x' || substr(md5(coalesce(mt.txt, '')), 1, 15)) AS BIGINT)
+  FROM md_ LEFT JOIN mt USING (doc_id)
+  UNION ALL
+  SELECT 'mask', md_.doc_id, 'n', coalesce(mn.n, 0)
+  FROM md_ LEFT JOIN mn USING (doc_id))
 UNION ALL
 SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM (
   WITH qrk AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,

@@ -44,6 +44,7 @@ __all__ = [
     "split_sequences",
     "concat_packed_sequences",
     "exact_quantiles",
+    "span_corruption",
 ]
 
 
@@ -347,6 +348,107 @@ def exact_quantiles(
     )
     return g.join(F.broadcast(ks), g["__gr"] == ks["k"]).select(
         "frac", "k", F.col("__v").alias("value")
+    )
+
+
+def span_corruption(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 3,
+    density: float = 0.15,
+    salt: str = "",
+) -> DataFrame:
+    """T5-style span-corruption pairs (Raffel et al. 2020 §3.1.4,
+    denoising objective), deterministic and relational: the token
+    stream is tiled into ``span``-length blocks, each block is chosen
+    with probability ``density`` by the md5 gate on (id, block, salt),
+    and the k-th chosen block (document order) becomes sentinel
+    ``<extra_id_k>`` — replaced by the sentinel in ``input_text``,
+    emitted as ``sentinel + tokens`` in ``target_text``. Expected
+    masked-token fraction = density, like the paper's; the pinned
+    simplification vs T5 proper is stride-ALIGNED spans (blocks never
+    overlap by construction, so no sequential greedy scan — the whole
+    objective is one explode + one per-doc window + one ordered
+    reassembly, the same plan family as encode_corpus). Docs with no
+    chosen block pass through with target '' — total decoration.
+
+    The corruption is a pure function of (id, block, salt):
+    partition-invariant, reproducible across clusters, re-rollable per
+    epoch via ``salt``.
+    """
+    gate = int(round(float(density) * 10_000))  # sample_bucket denom
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    occ = (
+        docs.select(F.col(id_col), toks.alias("__t"))
+        .select(id_col, F.posexplode("__t").alias("__pos", "__tok"))
+        .filter(F.col("__tok") != "")
+        .withColumn("__blk", F.expr(f"__pos div {int(span)}"))
+        .withColumn(
+            "__hit",
+            sample_bucket(
+                F.concat_ws("|", F.col(id_col), F.col("__blk")), salt
+            )
+            < gate,
+        )
+    )
+    # k = rank of the chosen block within the doc (dense over blocks:
+    # one row per block suffices — rank the block heads)
+    heads = occ.filter(
+        F.col("__hit") & (F.col("__pos") % span == 0)
+    ).select(
+        id_col, "__blk",
+        F.row_number()
+        .over(Window.partitionBy(id_col).orderBy("__blk"))
+        .alias("__k"),
+    )
+    j = occ.join(heads, [id_col, "__blk"], "left")
+    sentinel = F.concat(
+        F.lit("<extra_id_"), (F.col("__k") - 1).cast("string"), F.lit(">")
+    )
+    in_piece = (
+        F.when(F.col("__k").isNull(), F.col("__tok"))
+        .when(F.col("__pos") % span == 0, sentinel)
+        .otherwise(F.lit(None))
+    )
+    tgt_piece = F.when(
+        F.col("__k").isNotNull(),
+        F.when(
+            F.col("__pos") % span == 0,
+            F.concat(sentinel, F.lit(" "), F.col("__tok")),
+        ).otherwise(F.col("__tok")),
+    )
+    per_doc = j.groupBy(id_col).agg(
+        *[
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                piece.isNotNull(),
+                                F.struct(
+                                    F.col("__pos").alias("p"),
+                                    piece.alias("s"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+            ).alias(name)
+            for name, piece in (
+                ("input_text", in_piece),
+                ("target_text", tgt_piece),
+            )
+        ],
+        F.sum(F.col("__hit").cast("long")).alias("n_masked_tokens"),
+    )
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("input_text", F.lit("")).alias("input_text"),
+        F.coalesce("target_text", F.lit("")).alias("target_text"),
+        F.coalesce("n_masked_tokens", F.lit(0)).alias("n_masked_tokens"),
     )
 
 

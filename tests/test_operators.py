@@ -2356,6 +2356,87 @@ class TestExactQuantiles:
         assert cuts[0.67] == pytest.approx(1.252763, abs=1e-5)
 
 
+class TestSpanCorruption:
+    """curation.span_corruption: T5 denoising pairs vs pure Python."""
+
+    @staticmethod
+    def _py(doc_id, text, span=3, density=0.15, salt=""):
+        import hashlib
+        import math
+
+        toks = [t for t in (text or "").strip().split() if t]
+        gate = int(round(density * 10000))
+
+        def hit(blk):
+            h = int(
+                hashlib.md5(f"{doc_id}|{blk}{salt}".encode()).hexdigest()[:8],
+                16,
+            )
+            return h % 10000 < gate
+
+        blocks = sorted(
+            {p // span for p in range(len(toks))if hit(p // span)}
+        )
+        ks = {b: i for i, b in enumerate(blocks)}
+        inp, tgt, n = [], [], 0
+        for p, t in enumerate(toks):
+            b = p // span
+            if b in ks:
+                n += 1
+                if p % span == 0:
+                    inp.append(f"<extra_id_{ks[b]}>")
+                    tgt.append(f"<extra_id_{ks[b]}> {t}")
+                else:
+                    tgt.append(t)
+            else:
+                inp.append(t)
+        return " ".join(inp), " ".join(tgt), n
+
+    def test_matches_python_and_partitionings(self, spark):
+        from companycatalogcrawlerparser_spark.operators import (
+            curation as CU,
+        )
+
+        rows = [
+            (i, " ".join(f"w{i}t{j}" for j in range(5 + i % 17)))
+            for i in range(60)
+        ] + [(100, ""), (101, None), (102, "solo")]
+        want = {i: self._py(i, t) for i, t in rows}
+        for nparts in (2, 8):
+            df = spark.createDataFrame(
+                rows, "doc_id long, text string"
+            ).repartition(nparts)
+            got = {
+                r["doc_id"]: (
+                    r["input_text"], r["target_text"],
+                    r["n_masked_tokens"],
+                )
+                for r in CU.span_corruption(df).collect()
+            }
+            assert got == want, nparts
+        # the fixture actually masks something, and density lands in a
+        # plausible band around 0.15
+        tot = sum(len((t or "").split()) for _, t in rows)
+        masked = sum(n for _, _, n in want.values())
+        assert 0.05 < masked / tot < 0.3
+
+    def test_salt_rerolls_epoch(self, spark):
+        from companycatalogcrawlerparser_spark.operators import (
+            curation as CU,
+        )
+
+        df = spark.createDataFrame(
+            [(i, " ".join(f"x{i}y{j}" for j in range(30)))
+             for i in range(40)],
+            "doc_id long, text string",
+        )
+        a = {r["doc_id"]: r["input_text"]
+             for r in CU.span_corruption(df).collect()}
+        b = {r["doc_id"]: r["input_text"]
+             for r in CU.span_corruption(df, salt="e2").collect()}
+        assert a != b  # different epoch → different mask pattern
+
+
 class TestSplitSequences:
     """curation.split_sequences: trainer context-window chunking vs a
     pure-Python reference."""
