@@ -181,6 +181,7 @@ def _task_action(spark, task: str, data_dir: str):
                   "exact_dedup", "exactsubstr", "linededup", "dsir",
                   "text_metrics", "lm_ppl", "bpe_encode",
                   "bpe_encode_only", "quantiles", "content_extract",
+                  "span_mask",
                   "control_tokenhash", "pipeline_surface", "seqpack",
                   "dedup_pipeline", "pipeline_full", "stream_dedup",
                   "connected_components", "pagerank", "curation",
@@ -712,6 +713,27 @@ def _task_action(spark, task: str, data_dir: str):
             return {"rows_out": int(got[0]), "blocks": int(got[1]),
                     "kept": int(got[2]), "text_checksum": int(got[3]),
                     "md_checksum": int(got2[0])}
+    elif task == "span_mask":
+        # T5 span corruption at corpus scale: exact-bytes checksums
+        # over input/target plus the integer masked-token total.
+        from companycatalogcrawlerparser_spark.operators import (
+            curation as CUR,
+        )
+
+        def run():
+            out = CUR.span_corruption(docs)
+            m = out.select(
+                "n_masked_tokens",
+                F.pmod(F.xxhash64("input_text"), F.lit(10**9)).alias("ih"),
+                F.pmod(F.xxhash64("target_text"), F.lit(10**9)).alias("th"),
+            )
+            got = m.agg(
+                F.count("*"), F.sum("n_masked_tokens"),
+                F.sum("ih"), F.sum("th"),
+            ).first()
+            return {"rows_out": int(got[0]), "masked_tokens": int(got[1]),
+                    "input_checksum": int(got[2]),
+                    "target_checksum": int(got[3])}
     elif task == "quantiles":
         # exact distributed quantiles at corpus scale: value = a
         # synthetic long-tailed per-doc metric (xxhash64-derived, so
