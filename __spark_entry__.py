@@ -886,6 +886,18 @@ def q_corpus_curation(spark, sf_dir):
             F.col("n_masked_tokens").alias("val"),
         ))
     )
+    # kind='up' (r7-late): fractional source upsampling
+    # (curation.upsample_epochs, factor 2.3) over the bounded corpus —
+    # the row MULTIPLICITY (2 or 3 copies per doc, md5-gated) and the
+    # epoch indices are the signal; val = epoch
+    up = CU.upsample_epochs(
+        d.filter(F.col("doc_id") < 500).select("doc_id"), 2.3
+    ).select(
+        F.lit("up").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("grp"),
+        F.col("epoch").cast("long").alias("val"),
+    )
     # kind='quant' (r7-late): EXACT distributed quantiles
     # (curation.exact_quantiles — the frozen-cutoff derivation path,
     # e.g. lm_cutoffs) over the integer token counts at four fracs;
@@ -918,6 +930,7 @@ def q_corpus_curation(spark, sf_dir):
         .unionByName(pseq_b)
         .unionByName(pseq_t)
         .unionByName(mask)
+        .unionByName(up)
         .unionByName(quant)
         .unionByName(bpe)
     )
@@ -1930,6 +1943,15 @@ SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM (
   UNION ALL
   SELECT 'mask', md_.doc_id, 'n', coalesce(mn.n, 0)
   FROM md_ LEFT JOIN mn USING (doc_id))
+UNION ALL
+SELECT 'up' AS kind, doc_id, CAST(NULL AS VARCHAR) AS grp,
+       CAST(u.e AS BIGINT) AS val
+FROM (SELECT doc_id,
+             2 + CASE WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                          1, 8)) AS BIGINT) % 10000) < 3000
+                      THEN 1 ELSE 0 END AS copies
+      FROM documents WHERE doc_id < 500),
+     UNNEST(generate_series(0, copies - 1)) AS u(e)
 UNION ALL
 SELECT kind, doc_id, grp, CAST(val AS BIGINT) AS val FROM (
   WITH qrk AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,

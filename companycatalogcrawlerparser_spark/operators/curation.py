@@ -45,6 +45,7 @@ __all__ = [
     "concat_packed_sequences",
     "exact_quantiles",
     "span_corruption",
+    "upsample_epochs",
 ]
 
 
@@ -348,6 +349,48 @@ def exact_quantiles(
     )
     return g.join(F.broadcast(ks), g["__gr"] == ks["k"]).select(
         "frac", "k", F.col("__v").alias("value")
+    )
+
+
+def upsample_epochs(
+    df: DataFrame,
+    factor: float,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Fractional source upsampling for training-mix recipes (the
+    LLaMA-style "this source for 2.3 epochs"): every row is replicated
+    ``⌊factor⌋`` times, plus one more for the deterministic
+    ``frac(factor)`` share chosen by the md5 gate on (key, salt) — so
+    the EXPECTED corpus weight is exactly ``factor`` and the realized
+    copy set is a pure function of (key, salt): partition-invariant
+    and identical on every cluster. Adds ``epoch`` (0-based copy
+    index); compose the order key over (key, epoch) — e.g.
+    ``shuffle_order_key(F.concat_ws("|", key, epoch))`` — so copies
+    scatter through the training stream instead of clustering.
+
+    Plan shape: one gate expression + one explode of a
+    ``sequence(0, copies-1)`` literal — no join, no shuffle; rows with
+    zero copies (factor < 1 and gate misses) are filtered before the
+    explode."""
+    import math
+
+    if factor < 0:
+        raise ValueError("factor must be >= 0")
+    whole = int(math.floor(factor))
+    gate = int(round((float(factor) - whole) * 10_000))
+    copies = F.lit(whole) + F.when(
+        sample_bucket(F.col(key_col), salt) < gate, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.withColumn("__copies", copies)
+        .filter(F.col("__copies") > 0)
+        .select(
+            *df.columns,
+            F.explode(
+                F.sequence(F.lit(0), F.col("__copies") - 1)
+            ).alias("epoch"),
+        )
     )
 
 

@@ -2437,6 +2437,54 @@ class TestSpanCorruption:
         assert a != b  # different epoch → different mask pattern
 
 
+class TestUpsampleEpochs:
+    """curation.upsample_epochs: deterministic fractional replication."""
+
+    def test_multiplicity_and_partition_invariance(self, spark):
+        import hashlib
+
+        from companycatalogcrawlerparser_spark.operators import (
+            curation as CU,
+        )
+
+        rows = [(i,) for i in range(400)]
+
+        def gate(i):
+            return (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                % 10000
+            )
+
+        want = {}
+        for (i,) in rows:
+            c = 2 + (1 if gate(i) < 3000 else 0)
+            want[i] = list(range(c))
+        for nparts in (2, 8):
+            df = spark.createDataFrame(rows, "doc_id long").repartition(
+                nparts
+            )
+            got: dict = {}
+            for r in CU.upsample_epochs(df, 2.3).collect():
+                got.setdefault(r["doc_id"], []).append(r["epoch"])
+            assert {k: sorted(v) for k, v in got.items()} == want, nparts
+        total = sum(len(v) for v in want.values())
+        assert abs(total / 400 - 2.3) < 0.1  # realized weight ≈ factor
+
+    def test_edge_factors(self, spark):
+        from companycatalogcrawlerparser_spark.operators import (
+            curation as CU,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+        # integer factor: exact replication, no gate
+        assert CU.upsample_epochs(df, 2.0).count() == 400
+        # factor < 1: a deterministic subsample (some rows drop)
+        n = CU.upsample_epochs(df, 0.4).count()
+        assert 0 < n < 200
+        # factor 0: empty
+        assert CU.upsample_epochs(df, 0.0).count() == 0
+
+
 class TestSplitSequences:
     """curation.split_sequences: trainer context-window chunking vs a
     pure-Python reference."""
