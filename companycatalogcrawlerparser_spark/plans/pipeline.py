@@ -105,6 +105,10 @@ class CurationConfig:
     sample_rates: dict = field(default_factory=lambda: {"en": 8000})
     default_keep: int = 500
     sample_salt: str = ""
+    # stage 5b — fractional source upsampling (None/1.0 = off); the
+    # epoch copies get their own shuffle keys so they scatter
+    upsample_factor: Optional[float] = None
+    upsample_salt: str = ""
     # stages 6-7 — training shuffle + token-budget packing
     shuffle_salt: str = ""
     shard_budget_tokens: int = 100_000
@@ -352,11 +356,28 @@ def curate_training_corpus(
         default_keep=cfg.default_keep,
     )
 
+    # 5b. optional fractional source upsampling (mix recipes): copies
+    # carry an epoch index, and the SHUFFLE KEY becomes (id, epoch) so
+    # the copies scatter through the training stream instead of
+    # packing adjacently
+    order_key_col = idc
+    if cfg.upsample_factor is not None and cfg.upsample_factor != 1.0:
+        kept = CUR.upsample_epochs(
+            kept, cfg.upsample_factor, key_col=idc,
+            salt=cfg.upsample_salt,
+        ).withColumn(
+            "__mixkey",
+            F.concat_ws("#", F.col(idc), F.col("epoch")),
+        )
+        order_key_col = "__mixkey"
+
     # 6-7. training shuffle + global positions, then pack in that order
     ordered = CUR.global_order_index(
-        kept, key_col=idc, salt=cfg.shuffle_salt,
+        kept, key_col=order_key_col, salt=cfg.shuffle_salt,
         num_partitions=cfg.num_partitions,
     )
+    if order_key_col != idc:
+        ordered = ordered.drop("__mixkey")
     packed = CUR.pack_shards(
         ordered, "n_tok", cfg.shard_budget_tokens,
         order_col="train_pos", num_partitions=cfg.num_partitions,

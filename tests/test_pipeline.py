@@ -290,6 +290,39 @@ class TestCuratePipeline:
         n_off = off.count()
         assert n_off > len(kept)
 
+    def test_upsample_stage(self, spark):
+        import dataclasses
+
+        docs = _corpus(spark)
+        cfg = dataclasses.replace(CFG, upsample_factor=2.0)
+        out = curate_training_corpus(docs, None, cfg)
+        base = curate_training_corpus(docs, None, CFG)
+        n0 = base.count()
+        rows = out.collect()
+        assert len(rows) == 2 * n0
+        # every kept doc appears with epochs {0, 1}, and train_pos is a
+        # dense 0..2n-1 permutation (the copies got distinct positions)
+        eps: dict = {}
+        for r in rows:
+            eps.setdefault(r["doc_id"], []).append(r["epoch"])
+        assert all(sorted(v) == [0, 1] for v in eps.values())
+        assert sorted(r["train_pos"] for r in rows) == list(
+            range(2 * n0)
+        )
+        # copies scatter: at least one doc's two copies are not
+        # adjacent in the stream
+        gaps = [
+            abs(a - b)
+            for a, b in (
+                tuple(
+                    r["train_pos"] for r in rows if r["doc_id"] == d
+                )
+                for d in list(eps)[:10]
+            )
+        ]
+        assert max(gaps) > 1
+        assert "__mixkey" not in out.columns
+
     def test_observations_wired(self, spark):
         from pyspark.sql import Observation
 
