@@ -48,7 +48,35 @@ from ..operators import lm as LM
 from ..operators import pii as PII
 from ..operators import textquality as TQ
 
-__all__ = ["CurationConfig", "curate_training_corpus"]
+__all__ = ["CurationConfig", "curate_training_corpus", "pages_to_docs"]
+
+
+def pages_to_docs(
+    pages: DataFrame,
+    url_col: str = "page_url",
+    html_col: str = "html",
+    min_chars: int = 25,
+    max_link_pct: int = 35,
+) -> DataFrame:
+    """The bridge from the crawl half of this engine to the curation
+    half: crawled html pages → the (doc_id, url, text) frame
+    :func:`curate_training_corpus` consumes, via main-content
+    extraction (operators.content). ``doc_id = xxhash64(url)`` — the
+    repo's url-hash idiom, globally unique per url (the curation
+    chain's id precondition); pages whose extraction comes back empty
+    are dropped here (an empty text contributes nothing and would only
+    ride the quality gate as noise)."""
+    from ..operators.content import main_content
+
+    mc = main_content(
+        pages, url_col=url_col, html_col=html_col,
+        min_chars=min_chars, max_link_pct=max_link_pct,
+    )
+    return mc.filter(F.col("main_text") != "").select(
+        F.xxhash64(F.col(url_col)).alias("doc_id"),
+        F.col(url_col).alias("url"),
+        F.col("main_text").alias("text"),
+    )
 
 
 @dataclass

@@ -7,6 +7,7 @@ import hashlib
 from companycatalogcrawlerparser_spark.plans.pipeline import (
     CurationConfig,
     curate_training_corpus,
+    pages_to_docs,
 )
 from companycatalogcrawlerparser_spark.storage.snapshots import SnapshotStore
 
@@ -322,6 +323,38 @@ class TestCuratePipeline:
         ]
         assert max(gaps) > 1
         assert "__mixkey" not in out.columns
+
+    def test_html_to_shards_end_to_end(self, spark):
+        """The full product story in one chain: crawled html pages →
+        main-content extraction → the curation pipeline → packed
+        training frame."""
+        import dataclasses
+
+        from companycatalogcrawlerparser_spark.sources import webgen
+
+        rows = []
+        for i in range(12):
+            for p in webgen.generate_company_pages(i, filler_kb=1)[0]:
+                if p["html"]:
+                    rows.append((p["url"], p["html"]))
+        pages = spark.createDataFrame(
+            dict(rows).items(), "page_url string, html string"
+        )
+        docs = pages_to_docs(pages)
+        # ids unique, text non-empty, boilerplate nav dropped
+        n = docs.count()
+        assert n > 0
+        assert docs.select("doc_id").distinct().count() == n
+        assert docs.filter("text = ''").count() == 0
+        cfg = dataclasses.replace(CFG, jaccard_threshold=0.9)
+        packed = curate_training_corpus(docs, None, cfg)
+        out = packed.collect()
+        assert len(out) > 0
+        # the packed frame carries the trainer contract end-to-end
+        assert sorted(r["train_pos"] for r in out) == list(
+            range(len(out))
+        )
+        assert all(r["n_tok"] > 0 and r["shard_id"] >= 0 for r in out)
 
     def test_observations_wired(self, spark):
         from pyspark.sql import Observation
