@@ -186,7 +186,8 @@ FOLDED_KINDS = {
     "events_windows": ["window", "audit"],
     "warc_ingest": ["whole", "ranged", "indexed"],
     "corpus_curation": ["sample", "pack", "order", "cap", "chunk", "packseq",
-                        "mask", "quant", "bpe_merge", "bpe_word", "bpe_doc"],
+                        "mask", "up", "quant",
+                        "bpe_merge", "bpe_word", "bpe_doc"],
     "dedup_groups": ["exact", "simhash", "spans", "excised", "lines",
                      "incr"],
     "minhash": ["sig", "pairs"],
