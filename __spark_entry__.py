@@ -593,7 +593,14 @@ def q_dedup_groups(spark, sf_dir):
     anti-join — the each-crawl-against-all-prior-crawls discipline)."""
     d = _t_wide(spark, sf_dir, "documents")
     dspan = d.filter(F.col("doc_id") < 500)
-    span_df = D.duplicate_spans(dspan, n=15, min_count=2)
+    # the span set feeds TWO kinds (spans rows + the excised rewrite):
+    # persist the tiny (id, start, end) frame so the window-hash
+    # explode+count chain runs once, not once per consumer (r8; plan
+    # audit: 4 wpos subtrees → 2). persist, NOT localCheckpoint: even a
+    # lazy localCheckpoint executes its upstream stages at CALL time,
+    # which serializes the branch materializations into the build path —
+    # persist defers everything to the one parallel consuming job.
+    span_df = D.duplicate_spans(dspan, n=15, min_count=2).persist()
     spans = span_df.select(
         F.lit("spans").alias("kind"),
         "doc_id",
@@ -843,9 +850,11 @@ def q_corpus_curation(spark, sf_dir):
     d500 = d.filter(F.col("doc_id") < 500).select(
         "doc_id", "text", TQ.token_count(F.col("text")).alias("n_tok")
     )
+    # two consumers (boundary rows + text fingerprint rows) — persist
+    # the per-shard packed frame so the concat aggregation runs once (r8)
     ctx = CU.concat_packed_sequences(
         CU.pack_shards(d500, "n_tok", 2000), order_col="doc_id"
-    )
+    ).persist()
     pseq_b = ctx.select(
         F.lit("packseq").alias("kind"),
         F.col("shard_id").alias("doc_id"),
@@ -869,7 +878,10 @@ def q_corpus_curation(spark, sf_dir):
     _m5 = lambda c: (  # noqa: E731 — md5-int15, the chunk-kind idiom
         F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
     )
-    msk = CU.span_corruption(d.filter(F.col("doc_id") < 500))
+    # three consumers (in/tg/n) — persist the 500-row bounded frame so
+    # the md5-gated corruption chain evaluates once (r8; see the span_df
+    # note for why persist rather than localCheckpoint)
+    msk = CU.span_corruption(d.filter(F.col("doc_id") < 500)).persist()
     mask = (
         msk.select(
             F.lit("mask").alias("kind"), "doc_id",

@@ -987,7 +987,10 @@ def q_bpe_rows(spark) -> DataFrame:
         F.col("word").alias("grp"),
         _md5_int15_col(F.array_join("bpe_tokens", " ")).alias("val"),
     )
-    enc = B.encode_corpus(docs, merges)
+    # two consumers (per-doc count + fingerprint rows) — persist the
+    # fixture-sized encode frame so the occurrence join + positional
+    # reassembly runs once in the first consuming job (r8)
+    enc = B.encode_corpus(docs, merges).persist()
     doc_n = enc.select(
         F.lit("bpe_doc").alias("kind"),
         "doc_id",
@@ -1044,19 +1047,24 @@ def q_ann_lsh_recall(spark, sf_dir) -> DataFrame:
     # (r4 verdict #3: this tripled the row's cost). The cached frame is
     # ANN_NQ×ANN_K rows — trivially memory-safe at any scale where k is.
     brute = SIM.cosine_topk_bruteforce(q, df, k=ANN_K).persist()
+    # ONE pivot collect shared by both IVF kernels and SemDeDup (r8; was
+    # one TakeOrdered+collect job per consumer — identical pivots by
+    # construction, the quantizer is a deterministic md5 sample)
+    cents = SIM.ivf_pivots(df, ANN_CELLS)
     approx = {
         "lsh": SIM.cosine_topk_lsh(
             q, df, k=ANN_K, num_planes=ANN_PLANES, dim=ANN_DIM
         ),
         "ivf": SIM.cosine_topk_ivf(
-            q, df, k=ANN_K, n_cells=ANN_CELLS, nprobe=ANN_NPROBE
+            q, df, k=ANN_K, n_cells=ANN_CELLS, nprobe=ANN_NPROBE,
+            cents=cents,
         ),
         # r5 arrow kernel under the hard signal: hash-equality with the
         # SAME Python-twin top-k as kind='ivf' verifies the numpy-matmul
         # cell assignment end-to-end (see ann_lsh_oracle_sql note)
         "ivf_arrow": SIM.cosine_topk_ivf(
             q, df, k=ANN_K, n_cells=ANN_CELLS, nprobe=ANN_NPROBE,
-            kernel="arrow",
+            kernel="arrow", cents=cents,
         ),
     }
     base = brute.select("query_id").distinct()
@@ -1079,7 +1087,7 @@ def q_ann_lsh_recall(spark, sf_dir) -> DataFrame:
     # the dup-group connectivity AND the keep-farthest rule all
     # hash-match the pure-Python twin (_py_semdedup)
     sd = SIM.semantic_dedup(
-        df, n_cells=ANN_CELLS, threshold=SEMDUP_THRESHOLD
+        df, n_cells=ANN_CELLS, threshold=SEMDUP_THRESHOLD, cents=cents
     )
     sem = sd.select(
         F.lit("semdup").alias("kind"),
@@ -1715,15 +1723,29 @@ def q_events_audit(spark, sf_dir) -> DataFrame:
     )
     audited = host_budget_state(stream, delay_ms=AUDIT_DELAY_MS)
     name = "ccp_audit_" + uuid.uuid4().hex[:12]
-    q = (
-        audited.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(d, "chk"))
-        .trigger(availableNow=True)
-        .start()
+    # stateful-operator parallelism = shuffle partitions AT STREAM START
+    # (frozen into the checkpoint): size it to the key universe
+    # (AUDIT_HOSTS_MOD hosts), not the session's core-count default —
+    # 3 micro-batches × 32 state-store tasks of mostly-empty state was
+    # pure per-task overhead (state init + commit per partition per
+    # batch). Restored right after the one-shot run; per-host totals are
+    # partition-count-invariant.
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(int(prev_sp), AUDIT_HOSTS_MOD))
     )
-    q.awaitTermination()
+    try:
+        q = (
+            audited.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(d, "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return (
         spark.table(name)
         .groupBy("host")

@@ -617,6 +617,48 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return non_min.unionByName(self_edge).distinct()
 
 
+# below this edge count the component labels are computed driver-side
+# (one collect of the DISTINCT edge set + a union-find sweep) instead of
+# the iterative star-contraction — the same size-gated discipline as the
+# redirect closure (sources/pages.py DRIVER_CLOSURE_MAX_ROWS): a near-dup
+# pair graph is orders smaller than its corpus, each distributed star
+# round costs ~6 shuffle stages, and chain-shaped graphs need O(log² n)
+# rounds of pure stage overhead at this size. 200k edges ≈ 3 MB of long
+# pairs — control-aggregate-sized for any driver. Above the gate, the
+# provably-convergent distributed fixpoint runs unchanged (the 10^10
+# design). Both paths produce identical (node, min-reachable-id) labels.
+CC_DRIVER_MAX_EDGES = 200_000
+
+
+def _cc_driver(rows) -> dict:
+    """Union-find (path halving + union by min label) over collected
+    (u, v) edges → {node: component} with component = min reachable id.
+    Pure function of the edge SET — iteration order cannot change the
+    result because the final label is the componentwise minimum."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for u, v in rows:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min: the smaller label becomes the root, so roots
+            # are always the component minimum
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    return {n: find(n) for n in parent}
+
+
 def connected_components(
     pairs: DataFrame, max_iters: int = 20
 ) -> DataFrame:
@@ -626,23 +668,58 @@ def connected_components(
     Alternating large-star/small-star with a localCheckpoint per round
     (iterative self-joins otherwise stack an exponentially deepening
     lineage — the same discipline as the crawl's frontier loop) and a
-    deterministic fixed-point test (edge set unchanged under exceptAll
-    both ways). ``max_iters`` is a safety rail only: the algorithm
-    provably converges in O(log^2 n) rounds and near-dup graphs converge
-    in 2-3."""
+    deterministic fixed-point test. ``max_iters`` is a safety rail only:
+    the algorithm provably converges in O(log^2 n) rounds and near-dup
+    graphs converge in 2-3.
+
+    Fixed-point test (r8): both round outputs are DISTINCT edge sets, so
+    set equality is ``|nxt| == |edges| AND nxt \\ edges == ∅`` — one
+    cheap aggregate job on the checkpointed rows (count + u/v sums as a
+    pre-filter) per round, plus ONE one-sided ``exceptAll`` only on
+    rounds whose aggregates already match (i.e. normally just the final
+    round). The previous both-ways ``exceptAll`` paid two full
+    shuffle-heavy jobs every round (measured: the dominant cost of the
+    fixpoint on small graphs; at scale each exceptAll shuffles the whole
+    edge set twice)."""
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = edges.count()  # cheap: counts the checkpointed blocks
+    if n_edges <= CC_DRIVER_MAX_EDGES:
+        spark = pairs.sparkSession
+        labels = _cc_driver(
+            [(r["u"], r["v"]) for r in edges.collect()]
+        )
+        ntype = edges.schema["u"].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [StructField("node", ntype), StructField("component", ntype)]
+        )
+        return spark.createDataFrame(
+            sorted(labels.items()), schema
+        )
+
+    def _sig(e: DataFrame) -> tuple:
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("u").alias("su"),
+            F.sum("v").alias("sv"),
+        ).first()
+        return (r["n"], r["su"], r["sv"])
+
+    sig = _sig(edges)
     for _ in range(max_iters):
         nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        same = (
-            nxt.exceptAll(edges).isEmpty()
-            and edges.exceptAll(nxt).isEmpty()
-        )
-        edges = nxt
+        nsig = _sig(nxt)
+        # equal counts + one-sided emptiness ⇒ set equality (both sides
+        # are distinct); the sum pre-filter skips the exceptAll on
+        # not-yet-converged rounds
+        same = nsig == sig and nxt.exceptAll(edges).isEmpty()
+        edges, sig = nxt, nsig
         if same:
             break
     else:

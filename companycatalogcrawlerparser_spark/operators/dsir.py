@@ -99,6 +99,12 @@ def dsir_log_ratios(
     tc = counts(target, "t")
     rc = counts(raw, "r")
     allb = spark.range(num_buckets).select(F.col("id").alias("bucket"))
+    # persist the num_buckets-row count frame (r8): it is consumed
+    # twice below (the totals aggregate and the final ratio projection),
+    # and without it each consumer re-ran the full target+raw feature
+    # explode+aggregate — one extra pass over BOTH corpora per ratio
+    # derivation. persist, not localCheckpoint (lazy localCheckpoint
+    # executes upstream stages at call time).
     joined = (
         allb.join(tc, "bucket", "left")
         .join(rc, "bucket", "left")
@@ -107,6 +113,7 @@ def dsir_log_ratios(
             F.coalesce("t", F.lit(0)).alias("t"),
             F.coalesce("r", F.lit(0)).alias("r"),
         )
+        .persist()
     )
     # totals joined back as a 1-row broadcast — the bucket frame is tiny
     # (num_buckets rows), never corpus-sized. Spark resolves column

@@ -38,6 +38,11 @@ from pyspark.sql import functions as F
 
 __all__ = ["pagerank"]
 
+# below this DISTINCT edge count the power iteration runs driver-side on
+# the collected (u, v, deg) rows — see the in-function note; above it the
+# distributed two-shuffle-per-round iteration runs unchanged.
+PR_DRIVER_MAX_EDGES = 200_000
+
 
 def pagerank(
     edges: DataFrame,
@@ -58,29 +63,56 @@ def pagerank(
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
-    e = (
-        edges.select(
-            F.col(src).cast("long").alias("u"),
-            F.col(dst).cast("long").alias("v"),
+    ed = edges.select(
+        F.col(src).cast("long").alias("u"),
+        F.col(dst).cast("long").alias("v"),
+    ).distinct()
+    # out-degree is attached to the edge rows ONCE (r8): the iteration
+    # below then needs a single join per round instead of rank+outdeg —
+    # and one eager checkpoint materializes distinct+degree together
+    # (was: two separate checkpoint jobs for e and outdeg, plus an extra
+    # join every round). groupBy+join, not a count window: a window
+    # partitioned by u would buffer a hub node's whole out-edge list in
+    # one task; the aggregate is map-side combinable and the join
+    # AQE-skew-splittable.
+    deg = ed.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    e = ed.join(deg, "u").localCheckpoint(eager=True)
+    base = scale * (damping_den - damping_num) // damping_den
+    n_edges = e.count()  # cheap: counts the checkpointed blocks
+    if n_edges <= PR_DRIVER_MAX_EDGES:
+        # size-gated driver path (the dedup.CC_DRIVER_MAX_EDGES /
+        # redirect-closure discipline): the arithmetic is fixed-point
+        # INTEGER, so the Python loop reproduces the distributed result
+        # bit-for-bit (`div` on positive longs == `//`; long sums are
+        # exact and order-free). Each distributed power round costs a
+        # join + aggregate + checkpoint of pure stage overhead that a
+        # thousand-node graph never earns back.
+        rows = [(r["u"], r["v"], r["deg"]) for r in e.collect()]
+        node_set = set()
+        for u, v, _ in rows:
+            node_set.add(u)
+            node_set.add(v)
+        ranks_d = {n: scale for n in node_set}
+        for _ in range(iters):
+            summed: dict = {}
+            for u, v, d in rows:
+                c = (ranks_d[u] * damping_num) // (damping_den * d)
+                summed[v] = summed.get(v, 0) + c
+            ranks_d = {n: base + summed.get(n, 0) for n in node_set}
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            sorted(ranks_d.items()), "node long, rank_q long"
         )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    outdeg = (
-        e.groupBy("u").agg(F.count("*").alias("deg")).localCheckpoint(eager=True)
-    )
-    base = scale * (damping_den - damping_num) // damping_den
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank_q"))
     for _ in range(iters):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "u"), "u")
-            .join(outdeg, "u")
             .select(
                 F.col("v").alias("node"),
                 F.expr(

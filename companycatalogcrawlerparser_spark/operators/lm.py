@@ -103,9 +103,24 @@ def train_bigram_lm(
     single lazy broadcastable frame). Row count = distinct reference
     bigrams."""
     bg = lm_bigrams(ref, id_col, text_col)
-    cvw = bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
-    cv = bg.groupBy("v").agg(F.count(F.lit(1)).alias("c_v"))
-    voc = bg.agg(F.countDistinct("w").alias("vocab"))
+    # ONE reference scan (r8; was three): c_v = Σ_w c_vw and vocab =
+    # |distinct w of the bigram keys| are both derivable from the bigram
+    # count table itself, so the context totals and the vocab constant
+    # aggregate the model-sized cvw frame instead of re-exploding the
+    # reference corpus. cvw is persisted because the model frame is
+    # consumed from several broadcast subtrees (lm_logprob uses it three
+    # ways) — without it each consumer re-ran the full explode+aggregate
+    # (measured via plan audit: 3 bigram scans per model build × 3 model
+    # uses per scoring call = 9 reference scans). persist, not
+    # localCheckpoint: a localCheckpoint (even lazy) executes upstream
+    # stages at call time, moving the work into plan-construction.
+    cvw = (
+        bg.groupBy("v", "w")
+        .agg(F.count(F.lit(1)).alias("c_vw"))
+        .persist()
+    )
+    cv = cvw.groupBy("v").agg(F.sum("c_vw").alias("c_v"))
+    voc = cvw.agg(F.countDistinct("w").alias("vocab"))
     # the context table is unigram-vocabulary-sized — strictly smaller
     # than the bigram table it decorates — so broadcast it rather than
     # letting the planner sort-merge two model-sized frames

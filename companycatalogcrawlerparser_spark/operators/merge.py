@@ -14,6 +14,13 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# below this row count assign_dense_ids builds the id map driver-side
+# (one collect + sort) instead of the range-partition + local-rank +
+# offsets machinery — the size-gated discipline of sources/pages.py
+# DRIVER_CLOSURE_MAX_ROWS. 100k key rows ≈ a few MB; the distributed
+# path runs unchanged above the gate (the 10^10 design).
+IDS_DRIVER_MAX_ROWS = 100_000
+
 
 def insert_if_absent(
     existing: DataFrame, new: DataFrame, keys: Sequence[str]
@@ -61,9 +68,33 @@ def assign_dense_ids(
     from pyspark.storagelevel import StorageLevel
 
     spark = df.sparkSession
+    d = df.persist(StorageLevel.MEMORY_AND_DISK)
+    n_rows = d.count()
+    if n_rows <= IDS_DRIVER_MAX_ROWS:
+        # size-gated driver path (r8 — the redirect-closure /
+        # CC_DRIVER_MAX_EDGES discipline): below the gate the range
+        # sampler + per-partition rank + offset machinery is three jobs
+        # of stage overhead over a control-sized key set. Python's str
+        # ordering equals Spark's UTF8 binary ordering (UTF-8 bytewise
+        # comparison preserves code-point order), so the ids are
+        # identical to the distributed path's; NULLS FIRST mirrors the
+        # ascending window. The result is driver-literal data — stable
+        # under recomputation with no checkpoint needed.
+        rows = d.collect()
+        d.unpersist()
+        rows.sort(key=lambda r: (r[order_col] is not None, r[order_col]))
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            list(df.schema.fields) + [StructField(id_col, LongType())]
+        )
+        return spark.createDataFrame(
+            [tuple(r) + (offset + i + 1,) for i, r in enumerate(rows)],
+            schema,
+        )
     n_part = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
     ranged = (
-        df.repartitionByRange(n_part, F.col(order_col))
+        d.repartitionByRange(n_part, F.col(order_col))
         .withColumn("__pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -89,6 +120,7 @@ def assign_dense_ids(
     # the ids immune to recomputation-with-different-boundaries.
     out = out.localCheckpoint(eager=True)
     ranged.unpersist()
+    d.unpersist()
     return out
 
 

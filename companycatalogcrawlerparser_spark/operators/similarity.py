@@ -807,6 +807,7 @@ def semantic_dedup(
     max_cell: int = 4096,
     observation=None,
     kernel: str = "expr",
+    cents: list | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) re-expressed
     relationally: coarse-quantize the corpus into ``n_cells`` cells
@@ -851,7 +852,10 @@ def semantic_dedup(
 
     if kernel not in ("expr", "arrow"):
         raise ValueError(f"unknown semantic_dedup kernel {kernel!r}")
-    cents = ivf_pivots(corpus, n_cells, id_col, vec_col)
+    if cents is None:
+        # callers sharing the quantizer with an IVF path pass the pivots
+        # in (one TakeOrdered+collect instead of one per consumer)
+        cents = ivf_pivots(corpus, n_cells, id_col, vec_col)
     if kernel == "expr":
         m = F.array_max(_cell_scores(F.col(vec_col), cents))
         assigned = corpus.select(
@@ -902,9 +906,14 @@ def semantic_dedup(
             )
             .localCheckpoint(eager=True)
         )
-    sized = assigned.withColumn(
-        "__n", F.count("*").over(Window.partitionBy("cell"))
-    )
+    # cell-size gate via groupBy + broadcast join (r8; was a count
+    # window partitioned by cell): the window buffered each cell's rows
+    # in ONE task — and the over-cap mega-cell this gate exists to
+    # exclude is exactly the group that buffers worst, BEFORE being
+    # excluded. The aggregate is map-side combinable and its output is
+    # n_cells rows — trivially broadcastable at any corpus size.
+    cell_counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
+    sized = assigned.join(F.broadcast(cell_counts), "cell")
     if observation is not None:
         sized = sized.observe(
             observation,

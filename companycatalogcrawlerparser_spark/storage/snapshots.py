@@ -45,11 +45,25 @@ class SnapshotStore:
         # write the tables from concurrent driver threads: the writes are
         # independent jobs over (mostly) already-checkpointed inputs, so the
         # per-job stage latency overlaps; atomicity still comes solely from
-        # the manifest rename below
+        # the manifest rename below.
+        #
+        # Output sizing (r8, guide §6): the committed tables are METADATA
+        # rows (trace/bag/flags/frontier/url_seen keys — never html), but
+        # they inherit the corpus scan's split count (~3× cores via
+        # _tune_input_splits), so each round wrote #tables × ~3×cores
+        # tiny files and the union readers re-opened all of them every
+        # later round. Cap write fan-out at defaultParallelism/4 —
+        # cluster-proportional, not a constant: a bigger cluster writes
+        # more files, and a narrow coalesce over checkpointed/metadata
+        # inputs merges cached blocks without a shuffle or recompute.
+        n_write = max(2, self.spark.sparkContext.defaultParallelism // 4)
+
         def _write(item):
             name, df = item
             path = os.path.join(data_dir, name)
-            df.write.mode("overwrite").parquet(path)
+            # coalesce never increases partition count — smaller frames
+            # pass through untouched
+            df.coalesce(n_write).write.mode("overwrite").parquet(path)
             return name, path
 
         from concurrent.futures import ThreadPoolExecutor
