@@ -687,7 +687,13 @@ def q_minhash(spark, sf_dir):
     pair set (8 hashes / 4 bands, skew cap 256) — the scale path's
     candidate generator under the same signal."""
     d = _t_wide(spark, sf_dir, "documents")
-    sig = D.minhash_signature(d, num_hashes=4).selectExpr(
+    # ONE shingle explode+aggregate for both kinds (r8): per-seed hashes
+    # are independent of num_hashes, so mh_0..mh_3 of the 8-hash
+    # signature ARE the 4-hash signature the sig kind exports. The tiny
+    # (doc, 8 longs) frame is persisted and feeds both the stack and the
+    # band join (was: two independent full shingle scans).
+    sig8 = D.minhash_signature(d, num_hashes=8).persist()
+    sig = sig8.selectExpr(
         "doc_id",
         "stack(4, 0L, mh_0, 1L, mh_1, 2L, mh_2, 3L, mh_3) AS (seed, mh)",
     )
@@ -697,7 +703,7 @@ def q_minhash(spark, sf_dir):
         F.col("seed").alias("id_b"),
         F.col("mh").cast("long").alias("val"),
     )
-    pairs = D.minhash_lsh_pairs(d, num_hashes=8, bands=4).select(
+    pairs = D.minhash_lsh_pairs(d, num_hashes=8, bands=4, sig=sig8).select(
         F.lit("pairs").alias("kind"),
         "id_a",
         "id_b",
@@ -1059,9 +1065,23 @@ def q_text_metrics(spark, sf_dir):
         ).otherwise(F.lit("")),
     )
     target = d.filter(F.col("doc_id") % 5 == 0)
-    ratios = DSR.dsir_log_ratios(target, d, num_buckets=512)
+    # ONE bigram-feature explode (r8): the target is a slice of the
+    # corpus, so the target counts, the raw counts AND the scoring pass
+    # all derive from the same persisted (doc_id, bucket) frame — was
+    # three independent corpus/slice explodes. Persisting O(total
+    # tokens) rows is the documented trade the operator defaults avoid;
+    # here the frame is bench-fixture-sized.
+    dfeats = DSR.dsir_features(
+        d.select("doc_id", "text"), n=2, num_buckets=512
+    ).persist()
+    ratios = DSR.dsir_log_ratios(
+        target, d, num_buckets=512,
+        target_features=dfeats.filter(F.col("doc_id") % 5 == 0),
+        raw_features=dfeats,
+    )
     dsir = DSR.dsir_scores(
-        d.select("doc_id", "text"), ratios, num_buckets=512
+        d.select("doc_id", "text"), ratios, num_buckets=512,
+        features=dfeats,
     ).select(
         "doc_id",
         F.round("dsir_score", 6).alias("dsir_score"),

@@ -1725,14 +1725,16 @@ def q_events_audit(spark, sf_dir) -> DataFrame:
     name = "ccp_audit_" + uuid.uuid4().hex[:12]
     # stateful-operator parallelism = shuffle partitions AT STREAM START
     # (frozen into the checkpoint): size it to the key universe
-    # (AUDIT_HOSTS_MOD hosts), not the session's core-count default —
-    # 3 micro-batches × 32 state-store tasks of mostly-empty state was
-    # pure per-task overhead (state init + commit per partition per
-    # batch). Restored right after the one-shot run; per-host totals are
-    # partition-count-invariant.
+    # (AUDIT_HOSTS_MOD hosts, a handful of keys per state partition),
+    # not the session's core-count default — 3 micro-batches × 32
+    # state-store tasks of mostly-empty state was pure per-task overhead
+    # (state init + commit per partition per batch; measured 3.1 s @20
+    # partitions vs 2.1 s @4 on the warm path). Restored right after the
+    # one-shot run; per-host totals are partition-count-invariant.
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(min(int(prev_sp), AUDIT_HOSTS_MOD))
+        "spark.sql.shuffle.partitions",
+        str(min(int(prev_sp), max(2, AUDIT_HOSTS_MOD // 5))),
     )
     try:
         q = (

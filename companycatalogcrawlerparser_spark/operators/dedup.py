@@ -150,12 +150,18 @@ def minhash_signature(
 
 
 def _lsh_banded(
-    df: DataFrame, id_col: str, text_col: str, k: int, num_hashes: int, bands: int
+    df: DataFrame, id_col: str, text_col: str, k: int, num_hashes: int, bands: int,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
-    """(id, band, key) rows — one per (doc, band)."""
+    """(id, band, key) rows — one per (doc, band). Pass a precomputed
+    ``sig`` (a :func:`minhash_signature` frame with ≥ ``num_hashes``
+    columns) to reuse one shingle explode across consumers — per-seed
+    hashes are independent of ``num_hashes``, so the first n columns of
+    a wider signature ARE the n-hash signature."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, id_col, text_col, k, num_hashes)
+    if sig is None:
+        sig = minhash_signature(df, id_col, text_col, k, num_hashes)
 
     band_cols = []
     for b in range(bands):
@@ -173,6 +179,7 @@ def minhash_lsh_pairs(
     k: int = 5, num_hashes: int = 12, bands: int = 4,
     max_bucket: int | None = 256,
     observation=None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) that collide in ≥1 LSH band.
 
@@ -203,9 +210,9 @@ def minhash_lsh_pairs(
     # explode+aggregate; the checkpointed rows are tiny (id, band, key).
     # NB under AQE a lazy localCheckpoint materializes upstream stages when
     # the first action touches it — fine here, the result is always used.
-    banded = _lsh_banded(df, id_col, text_col, k, num_hashes, bands).localCheckpoint(
-        eager=False
-    )
+    banded = _lsh_banded(
+        df, id_col, text_col, k, num_hashes, bands, sig=sig
+    ).localCheckpoint(eager=False)
     # bucket-size gate as a WINDOW count: one shuffle on (band,key) over
     # the checkpointed rows, no extra join
     if max_bucket is None:

@@ -76,6 +76,8 @@ def dsir_log_ratios(
     alpha: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    target_features: Optional[DataFrame] = None,
+    raw_features: Optional[DataFrame] = None,
 ) -> DataFrame:
     """All ``num_buckets`` rows (bucket, log_ratio) of the Laplace-
     smoothed log importance ratio
@@ -86,18 +88,26 @@ def dsir_log_ratios(
     T/R their totals. Buckets unseen in either corpus get the smoothed
     default (NOT zero — a doc full of never-target-seen features should
     score below one full of common ones). Output is ``num_buckets`` rows
-    — broadcast it into the scoring join (dsir_scores does)."""
+    — broadcast it into the scoring join (dsir_scores does).
+
+    ``target_features`` / ``raw_features`` (r8): precomputed
+    :func:`dsir_features` frames to reuse one n-gram explode across the
+    ratio counts and a subsequent :func:`dsir_scores` pass — a caller
+    whose target is a SLICE of raw can derive both from one persisted
+    feature frame (the default recomputes: materializing O(total tokens)
+    rows only pays when the caller persists the frame anyway)."""
     spark = target.sparkSession
 
-    def counts(d, name):
-        return (
-            dsir_features(d, n, num_buckets, id_col, text_col)
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias(name))
+    def counts(d, name, pre):
+        feats = (
+            pre
+            if pre is not None
+            else dsir_features(d, n, num_buckets, id_col, text_col)
         )
+        return feats.groupBy("bucket").agg(F.count(F.lit(1)).alias(name))
 
-    tc = counts(target, "t")
-    rc = counts(raw, "r")
+    tc = counts(target, "t", target_features)
+    rc = counts(raw, "r", raw_features)
     allb = spark.range(num_buckets).select(F.col("id").alias("bucket"))
     # persist the num_buckets-row count frame (r8): it is consumed
     # twice below (the totals aggregate and the final ratio projection),
@@ -141,6 +151,7 @@ def dsir_scores(
     num_buckets: int = 10_000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    features: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Every input doc decorated with its importance score: the sum of
     ``log_ratio`` over the doc's n-gram occurrences (the log of the
@@ -151,8 +162,13 @@ def dsir_scores(
 
     The ratio frame is broadcast (num_buckets rows); the corpus-sized
     feature stream never shuffles on the bucket axis — the only big
-    shuffle is the final groupBy(id) sum."""
-    feats = dsir_features(docs, n, num_buckets, id_col, text_col)
+    shuffle is the final groupBy(id) sum. ``features``: a precomputed
+    :func:`dsir_features` frame for ``docs`` (see dsir_log_ratios)."""
+    feats = (
+        features
+        if features is not None
+        else dsir_features(docs, n, num_buckets, id_col, text_col)
+    )
     per_doc = (
         feats.join(
             F.broadcast(ratios.select("bucket", "log_ratio")), "bucket"
