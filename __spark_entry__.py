@@ -744,12 +744,6 @@ def q_graph_ops(spark, sf_dir):
     pairs = D.minhash_lsh_pairs(d, num_hashes=8, bands=4).filter(
         F.col("id_b") - F.col("id_a") <= 5
     )
-    cc = D.dedup_clusters(d, pairs).select(
-        F.lit("cc").alias("kind"),
-        F.col("doc_id").alias("id"),
-        F.col("cluster_id").alias("val"),
-        F.col("is_rep").cast("long").alias("aux"),
-    )
     ev = _t(spark, sf_dir, "events")
     edges = ev.select(
         (F.col("event_id") % 499).alias("src"),
@@ -757,7 +751,22 @@ def q_graph_ops(spark, sf_dir):
             "dst"
         ),
     )
-    pr = LG.pagerank(edges, iters=3).select(
+    # both families run eager work at construction (the CC edge-set
+    # checkpoint + fixpoint/driver sweep, the pagerank edge checkpoint +
+    # power rounds) and are independent — build them from two concurrent
+    # driver threads (r8; the corpus_curation pool discipline)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as __ex:
+        __f_cc = __ex.submit(D.dedup_clusters, d, pairs)
+        __f_pr = __ex.submit(LG.pagerank, edges, iters=3)
+    cc = __f_cc.result().select(
+        F.lit("cc").alias("kind"),
+        F.col("doc_id").alias("id"),
+        F.col("cluster_id").alias("val"),
+        F.col("is_rep").cast("long").alias("aux"),
+    )
+    pr = __f_pr.result().select(
         F.lit("pr").alias("kind"),
         F.col("node").alias("id"),
         F.col("rank_q").alias("val"),
@@ -789,7 +798,50 @@ def q_corpus_curation(spark, sf_dir):
         CU.sample_bucket(F.col("doc_id")).alias("val"),
     )
     toks = d.select("doc_id", TQ.token_count(F.col("text")).alias("n_tok"))
-    pack = CU.pack_shards(toks, "n_tok", 2000).select(
+    dom = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("mega.example"))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("mid"), (F.col("doc_id") % 4).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("tail"), (F.col("doc_id") % 30).cast("string"))
+        )
+    )
+    d500 = d.filter(F.col("doc_id") < 500).select(
+        "doc_id", "text", TQ.token_count(F.col("text")).alias("n_tok")
+    )
+    from companycatalogcrawlerparser_spark import harness as _H
+
+    # the six frames whose CONSTRUCTION runs eager Spark jobs (the
+    # prefix-sum builders' range-sample + __pid-freeze checkpoints, the
+    # BPE word-count collect) are built from concurrent driver threads —
+    # independent jobs whose materialization latency overlaps (the
+    # plans/crawl.py _checkpoint_parallel discipline; measured: the
+    # sequential builds were ~4.3 s of the row's build wall, ≈ the sum
+    # of six ~0.5-0.9 s materializations). Everything else stays lazy.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=6) as __ex:
+        __f_pack = __ex.submit(CU.pack_shards, toks, "n_tok", 2000)
+        __f_order = __ex.submit(
+            CU.global_order_index, d.select("doc_id")
+        )
+        __f_cap = __ex.submit(
+            CU.cap_per_domain,
+            d.select("doc_id").withColumn("domain", dom), "domain", 20,
+        )
+        __f_ctx = __ex.submit(
+            lambda: CU.concat_packed_sequences(
+                CU.pack_shards(d500, "n_tok", 2000), order_col="doc_id"
+            ).persist()
+        )
+        __f_quant = __ex.submit(
+            CU.exact_quantiles,
+            toks.select("n_tok"), "n_tok", [0.25, 0.5, 0.75, 0.9],
+        )
+        __f_bpe = __ex.submit(_H.q_bpe_rows, spark)
+    pack = __f_pack.result().select(
         F.lit("pack").alias("kind"),
         "doc_id",
         F.lit(None).cast("string").alias("grp"),
@@ -799,7 +851,7 @@ def q_corpus_curation(spark, sf_dir):
     # is the row's 0-based global position in md5(doc_id) order, computed
     # by the pack_shards prefix sum (one token per row, budget 1), never
     # a single-partition row_number window; the twin IS that naive window
-    order = CU.global_order_index(d.select("doc_id")).select(
+    order = __f_order.result().select(
         F.lit("order").alias("kind"),
         "doc_id",
         F.lit(None).cast("string").alias("grp"),
@@ -812,19 +864,7 @@ def q_corpus_curation(spark, sf_dir):
     # md5-permutation ranks for over-cap domains (val = rank) and the
     # untouched NULL-rank passthrough for under-cap ones. The twin is
     # the naive one-task-per-domain window the operator exists to avoid.
-    dom = (
-        F.when(F.col("doc_id") % 3 == 0, F.lit("mega.example"))
-        .when(
-            F.col("doc_id") % 3 == 1,
-            F.concat(F.lit("mid"), (F.col("doc_id") % 4).cast("string")),
-        )
-        .otherwise(
-            F.concat(F.lit("tail"), (F.col("doc_id") % 30).cast("string"))
-        )
-    )
-    capd = CU.cap_per_domain(
-        d.select("doc_id").withColumn("domain", dom), "domain", 20
-    ).select(
+    capd = __f_cap.result().select(
         F.lit("cap").alias("kind"),
         "doc_id",
         F.col("domain").alias("grp"),
@@ -853,14 +893,10 @@ def q_corpus_curation(spark, sf_dir):
     # integer-exactly (doc_id = SHARD id, grp = boundary index, val =
     # token offset); the grp='text' row pins the concatenated bytes
     # (val = md5-int). Bounded doc_id < 500 like the other r7 kinds.
-    d500 = d.filter(F.col("doc_id") < 500).select(
-        "doc_id", "text", TQ.token_count(F.col("text")).alias("n_tok")
-    )
-    # two consumers (boundary rows + text fingerprint rows) — persist
-    # the per-shard packed frame so the concat aggregation runs once (r8)
-    ctx = CU.concat_packed_sequences(
-        CU.pack_shards(d500, "n_tok", 2000), order_col="doc_id"
-    ).persist()
+    # two consumers (boundary rows + text fingerprint rows) — persisted
+    # per-shard packed frame (built in the pool above) so the concat
+    # aggregation runs once (r8)
+    ctx = __f_ctx.result()
     pseq_b = ctx.select(
         F.lit("packseq").alias("kind"),
         F.col("shard_id").alias("doc_id"),
@@ -922,9 +958,7 @@ def q_corpus_curation(spark, sf_dir):
     # doc_id = the 1-based rank k, val = the value AT that rank —
     # integer-exact end to end, vs the naive global row_number twin the
     # prefix-sum construction exists to avoid
-    quant = CU.exact_quantiles(
-        toks.select("n_tok"), "n_tok", [0.25, 0.5, 0.75, 0.9]
-    ).select(
+    quant = __f_quant.result().select(
         F.lit("quant").alias("kind"),
         F.col("k").alias("doc_id"),
         F.format_string("%.2f", F.col("frac")).alias("grp"),
@@ -935,9 +969,7 @@ def q_corpus_curation(spark, sf_dir):
     # sf-independent fixture corpus, vs the recount-from-scratch pure-
     # Python twin (harness._py_bpe) — merge order, per-word greedy
     # encoding, and per-doc subword streams all under the hash signal
-    from companycatalogcrawlerparser_spark import harness as _H
-
-    bpe = _H.q_bpe_rows(spark).select(
+    bpe = __f_bpe.result().select(
         "kind", F.col("doc_id").cast("long").alias("doc_id"), "grp", "val"
     )
     return (

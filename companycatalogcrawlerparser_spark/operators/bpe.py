@@ -150,17 +150,16 @@ def encode_word_py(word: str, ranks: dict) -> list:
     s = list(word)
     while len(s) > 1:
         best_rank = None
+        pair = None
         for a, b in zip(s, s[1:]):
             rk = ranks.get((a, b))
             if rk is not None and (best_rank is None or rk < best_rank):
                 best_rank = rk
+                pair = (a, b)  # the winning pair, tracked inline —
+                # rescanning ranks.items() per merge step was O(merges)
+                # per iteration (ADVICE r7)
         if best_rank is None:
             break
-        pair = None
-        for p, r in ranks.items():
-            if r == best_rank:
-                pair = p
-                break
         out = []
         i = 0
         while i < len(s):

@@ -372,7 +372,13 @@ def upsample_epochs(
     Plan shape: one gate expression + one explode of a
     ``sequence(0, copies-1)`` literal — no join, no shuffle; rows with
     zero copies (factor < 1 and gate misses) are filtered before the
-    explode."""
+    explode.
+
+    Precision note (ADVICE r7): the fractional share is quantized to
+    1/10000 (the ``sample_bucket`` denominator) — ``gate =
+    round(frac·10000)`` — so the expected weight is exact only to 1e-4;
+    factors with a finer fractional part silently round to the nearest
+    quantum."""
     import math
 
     if factor < 0:
@@ -420,6 +426,12 @@ def span_corruption(
     partition-invariant, reproducible across clusters, re-rollable per
     epoch via ``salt``.
     """
+    if span < 1:
+        # ADVICE r7: span=0 otherwise surfaces as an opaque div-by-zero
+        # inside the executed `__pos div 0` expression
+        raise ValueError("span must be >= 1")
+    if not (0.0 <= float(density) <= 1.0):
+        raise ValueError("density must be in [0, 1]")
     gate = int(round(float(density) * 10_000))  # sample_bucket denom
     toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     occ = (

@@ -40,8 +40,9 @@ __all__ = ["pagerank"]
 
 # below this DISTINCT edge count the power iteration runs driver-side on
 # the collected (u, v, deg) rows — see the in-function note; above it the
-# distributed two-shuffle-per-round iteration runs unchanged.
-PR_DRIVER_MAX_EDGES = 200_000
+# distributed two-shuffle-per-round iteration runs unchanged. 500k edge
+# rows ≈ 12 MB collected — control-aggregate-sized.
+PR_DRIVER_MAX_EDGES = 500_000
 
 
 def pagerank(

@@ -16,7 +16,7 @@ Video: UNCOMPRESSED AVI decodes for real (round 5, ``operators/avi.py``
 — RIFF walk + DIB frames, lossless), MJPEG-in-AVI (round 6) and
 animated GIF (round 6) are the real compressed paths; only inter-frame
 codecs (H.264/VP9) remain honestly stubbed (pyav absent, re-probed
-round 6) behind the ``fake=True`` stand-in. All Spark-side plumbing is
+round 8) behind the ``fake=True`` stand-in. All Spark-side plumbing is
 real and tested:
 asset schema, Arrow batch shape through ``mapInPandas``, partitioning
 by asset kind, and output schemas.
@@ -544,7 +544,7 @@ def frame_sample(assets: DataFrame, every_ms: int = 5000, fake: bool = True) -> 
     ``fake=False`` decodes AVI for real (``operators/avi``, RIFF walk +
     DIB or motion-JPEG frames — no codec library) and hashes the
     sampled RGB pixels; inter-frame codecs raise (pyav absent, re-probed
-    r6). The ``fake=True`` stand-in keeps the metadata-driven
+    r8). The ``fake=True`` stand-in keeps the metadata-driven
     deterministic hash for payloads that are not real videos."""
     import pandas as pd
 

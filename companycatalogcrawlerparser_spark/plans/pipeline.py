@@ -62,10 +62,18 @@ def pages_to_docs(
     half: crawled html pages → the (doc_id, url, text) frame
     :func:`curate_training_corpus` consumes, via main-content
     extraction (operators.content). ``doc_id = xxhash64(url)`` — the
-    repo's url-hash idiom, globally unique per url (the curation
-    chain's id precondition); pages whose extraction comes back empty
+    repo's url-hash idiom; pages whose extraction comes back empty
     are dropped here (an empty text contributes nothing and would only
-    ride the quality gate as noise)."""
+    ride the quality gate as noise).
+
+    Id-uniqueness precondition (ADVICE r7): the curation chain keys on
+    ``doc_id``, so the input must be one row per DISTINCT url (the
+    crawl's url_seen discipline guarantees it; other feeds should
+    ``dropDuplicates([url_col])`` first — duplicate urls yield duplicate
+    doc_ids), and a 64-bit hash has expected birthday collisions once
+    the corpus approaches ~4·10⁹ distinct urls — at that scale switch
+    the id to the 128-bit ``md5(url)`` (every id-keyed operator here
+    treats doc_id as opaque) or keep the url itself as the key."""
     from ..operators.content import main_content
 
     mc = main_content(
