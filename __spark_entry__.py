@@ -1124,10 +1124,15 @@ def q_text_metrics(spark, sf_dir):
     # slice DSIR targets (doc_id % 5 == 0), scored over every doc.
     # lm_logp = Σ ln p(w|v) rounded 6dp (the dsir float idiom);
     # n_lm_terms pins the BOS-prefixed tokenization integer-exactly.
-    lmodel = LM.train_bigram_lm(target.select("doc_id", "text"))
-    lmsc = LM.lm_logprob(d.select("doc_id", "text"), lmodel).select(
-        "doc_id", "lm_logp", "n_lm_terms"
+    # with_parts (r8): the scorer's three broadcast builds (pair / ctx /
+    # vocab constant) each re-executed the model join without it — the
+    # parts make every build a projection of the persisted count table
+    lmodel, lparts = LM.train_bigram_lm(
+        target.select("doc_id", "text"), with_parts=True
     )
+    lmsc = LM.lm_logprob(
+        d.select("doc_id", "text"), lmodel, parts=lparts
+    ).select("doc_id", "lm_logp", "n_lm_terms")
     return d.select(
         "doc_id",
         TQ.predict_lang(F.col("text")).alias("pred_lang"),

@@ -95,13 +95,27 @@ def lm_bigrams(
 
 
 def train_bigram_lm(
-    ref: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_parts: bool = False,
 ) -> DataFrame:
     """The model as ONE DataFrame: (v, w, c_vw, c_v, vocab) — bigram
     count, context total, and the reference's distinct-next-word count
     (constant across rows, carried as a column so the model stays a
     single lazy broadcastable frame). Row count = distinct reference
-    bigrams."""
+    bigrams.
+
+    ``with_parts=True`` additionally returns the model's three
+    components ``(cvw, cv, voc)`` for :func:`lm_logprob`'s ``parts``
+    parameter: the scorer consumes the model from THREE broadcast
+    subtrees (pair / context / vocab-constant), and each broadcast
+    build otherwise re-executes the cvw⋈cv⋈voc join — handing it the
+    parts makes every build a projection of the persisted count table
+    (or the unigram-sized cv), removing two model-table passes per
+    scoring call. Values are identical by construction: cv is keyed
+    uniquely by v and covers every v in cvw, so the inner join never
+    drops or duplicates a bigram row."""
     bg = lm_bigrams(ref, id_col, text_col)
     # ONE reference scan (r8; was three): c_v = Σ_w c_vw and vocab =
     # |distinct w of the bigram keys| are both derivable from the bigram
@@ -124,11 +138,14 @@ def train_bigram_lm(
     # the context table is unigram-vocabulary-sized — strictly smaller
     # than the bigram table it decorates — so broadcast it rather than
     # letting the planner sort-merge two model-sized frames
-    return (
+    model = (
         cvw.join(F.broadcast(cv), "v")
         .crossJoin(F.broadcast(voc))
         .select("v", "w", "c_vw", "c_v", "vocab")
     )
+    if with_parts:
+        return model, (cvw, cv, voc)
+    return model
 
 
 def _logp(c_vw, c_v, vocab) -> Column:
@@ -143,6 +160,7 @@ def lm_logprob(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_model: bool = True,
+    parts: tuple | None = None,
 ) -> DataFrame:
     """Every input doc decorated with ``lm_logp`` (Σ ln p(w|v) over its
     token stream, 6dp — the repo's established float idiom),
@@ -154,18 +172,37 @@ def lm_logprob(
     unseen-bigram terms) — both joins broadcast when
     ``broadcast_model`` (reference-vocabulary-sized: CCNet models are
     MBs against TB corpora); pass False to let AQE pick a shuffle join
-    for an unusually large reference."""
+    for an unusually large reference.
+
+    ``parts`` (optional) is ``train_bigram_lm(..., with_parts=True)``'s
+    ``(cvw, cv, voc)`` triple: the three model consumers below then
+    project the persisted count table / the unigram-sized cv directly
+    instead of each broadcast build re-executing the model join.
+    Equivalence is exact, including the degenerate empty-reference
+    case: pair ≡ model.select(v, w, c_vw) because cv joins 1:1 onto
+    cvw's v keys; ctx ≡ the per-v (c_v, vocab) pairs because every
+    model row of a given v carries the same c_v/vocab; the vocab
+    constant aggregates cv⋈voc so an empty reference yields NULL
+    exactly like ``model.agg(max(vocab))`` does."""
     bcast = F.broadcast if broadcast_model else (lambda df: df)
     bg = lm_bigrams(docs, id_col, text_col)
-    pair = bcast(model.select("v", "w", "c_vw"))
-    ctx = bcast(
-        model.select("v", "c_v", "vocab").groupBy("v").agg(
-            F.first("c_v").alias("c_v"), F.first("vocab").alias("vocab")
+    if parts is not None:
+        cvw, cv, voc = parts
+        pair = bcast(cvw.select("v", "w", "c_vw"))
+        ctx = bcast(cv.crossJoin(voc).select("v", "c_v", "vocab"))
+        voc1 = F.broadcast(
+            cv.crossJoin(voc).agg(F.max("vocab").alias("__voc"))
         )
-    )
-    # vocab for rows whose CONTEXT is unseen (both joins miss): a 1-row
-    # broadcast of the constant
-    voc1 = F.broadcast(model.agg(F.max("vocab").alias("__voc")))
+    else:
+        pair = bcast(model.select("v", "w", "c_vw"))
+        ctx = bcast(
+            model.select("v", "c_v", "vocab").groupBy("v").agg(
+                F.first("c_v").alias("c_v"), F.first("vocab").alias("vocab")
+            )
+        )
+        # vocab for rows whose CONTEXT is unseen (both joins miss): a
+        # 1-row broadcast of the constant
+        voc1 = F.broadcast(model.agg(F.max("vocab").alias("__voc")))
     scored = (
         bg.join(pair, ["v", "w"], "left")
         .join(ctx, "v", "left")

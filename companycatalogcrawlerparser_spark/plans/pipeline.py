@@ -252,8 +252,12 @@ def curate_training_corpus(
         # branches (bigram scoring + the decorating join) — without the
         # checkpoint each branch re-derives the whole dedup chain
         survivors = survivors.localCheckpoint(eager=True)
-        model = LM.train_bigram_lm(lm_ref, id_col=idc, text_col=txc)
-        scored = LM.lm_logprob(survivors, model, id_col=idc, text_col=txc)
+        model, mparts = LM.train_bigram_lm(
+            lm_ref, id_col=idc, text_col=txc, with_parts=True
+        )
+        scored = LM.lm_logprob(
+            survivors, model, id_col=idc, text_col=txc, parts=mparts
+        )
         if by_lang is not None:
             # CCNet proper freezes cutoffs PER LANGUAGE (derive each
             # with lm.lm_cutoffs over that language's reference run);

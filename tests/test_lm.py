@@ -74,6 +74,25 @@ class TestScore:
             assert out[i] == (0.0, 0, None)
         assert out[3][1] == 2
 
+    def test_parts_path_identical(self, spark):
+        # r8: lm_logprob(parts=...) consumes the model's decomposed
+        # (cvw, cv, voc) frames instead of re-executing the model join
+        # per broadcast build — must be row-identical to the model-frame
+        # path on every column, including the unseen-word, the
+        # unseen-context and the empty-doc branches
+        ref = _docs(spark, ["a b", "a b", "a c"])
+        model, parts = LM.train_bigram_lm(ref, with_parts=True)
+        corpus = _docs(spark, ["a b", "a z", "z q", "", None, "a b c a"])
+        base = {
+            r["doc_id"]: (r["lm_logp"], r["n_lm_terms"], r["ppl"])
+            for r in LM.lm_logprob(corpus, model).collect()
+        }
+        got = {
+            r["doc_id"]: (r["lm_logp"], r["n_lm_terms"], r["ppl"])
+            for r in LM.lm_logprob(corpus, model, parts=parts).collect()
+        }
+        assert got == base
+
     def test_model_broadcast_no_corpus_shuffle_on_keys(self, spark, model):
         plan = (
             LM.lm_logprob(_docs(spark, ["a b c d"] * 50), model)
